@@ -1,0 +1,46 @@
+"""Framework configuration.
+
+The reference scatters its knobs across hardcoded module globals
+(USE_CPP_RASTERIZER in rasterize.py:14, SHOW_DEBUG_LOGS/EPS in the soft
+rasterizer, MAX_DEPTH in quadtree.py). Here all knobs live in small
+dataclasses with a module-level default that call sites may override
+per-invocation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class HardRasterizerConfig:
+    """Configuration for the hard (Genova-style barycentric) rasterizer.
+
+    Attributes:
+      backend: 'xla' (dense chunked jnp kernel — the semantic spec, mirrors
+        the reference's pure-python kernel role), 'pallas' (tiled TPU kernel)
+        or 'auto' (pallas on TPU, xla elsewhere).
+      triangle_chunk: triangles processed per scan step in the XLA backend;
+        bounds peak memory at H*W*chunk intermediates.
+    """
+    backend: str = "auto"
+    triangle_chunk: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class SoftRasterizerConfig:
+    """Configuration for the soft (SoftRas-style) rasterizer.
+
+    Attributes:
+      backend: 'xla' or 'pallas' or 'auto'.
+      triangle_chunk: triangles per online-aggregation scan step.
+      eps: background-probability floor (reference EPS=1e-10,
+        soft_mesh_renderer/rasterize.py:211).
+    """
+    backend: str = "auto"
+    triangle_chunk: int = 64
+    eps: float = 1e-10
+
+
+HARD_CONFIG = HardRasterizerConfig()
+SOFT_CONFIG = SoftRasterizerConfig()

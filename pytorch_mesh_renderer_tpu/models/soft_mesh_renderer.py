@@ -1,0 +1,84 @@
+"""Soft (SoftRas, Liu 2019) mesh renderer.
+
+Parity target: /root/reference/src/soft_mesh_renderer/render.py:15-165 —
+validation/broadcast, camera matrix construction, automatic vertex normals,
+then the soft rasterizer (shading is fused into the kernel). Defaults match
+the reference: sigma=1e-5, gamma=1e-4, blur_radius=0.01, fov_y=40 deg,
+near=0.01, far=10.
+
+Triangle winding: counter-clockwise toward the viewer (back faces are
+culled by signed area, soft render.py:37-41).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops import camera, mesh
+from ..ops.soft_rasterize import rasterize
+
+__all__ = ["render"]
+
+
+def render(vertices, triangles, diffuse_colors, camera_position,
+           camera_lookat, camera_up, light_positions, light_intensities,
+           image_width, image_height, sigma_val=1e-5, gamma_val=1e-4,
+           blur_radius=0.01, fov_y=40.0, near_clip=0.01, far_clip=10.0,
+           config=None):
+    """Soft-renders an input scene, returning lit RGBA images.
+
+    Args (shapes as in the reference, soft render.py:34-71):
+      vertices: [batch_size, vertex_count, 3] f32 world positions.
+      triangles: [triangle_count, 3] i32, CCW winding toward the viewer.
+      diffuse_colors: [batch_size, vertex_count, 3] f32 in [0, 1].
+      camera_position / camera_lookat / camera_up: [batch_size, 3] or [3].
+      light_positions: [batch_size, light_count, 3] f32.
+      light_intensities: [batch_size, light_count] f32 (scalar per light —
+        note this differs from the hard renderer's RGB intensities).
+      sigma_val, gamma_val, blur_radius: SoftRas sharpness / depth
+        temperature / sampling cutoff.
+
+    Returns:
+      [batch_size, image_height, image_width, 4] f32 RGBA; RGB aggregated by
+      softmax depth weights, alpha by the silhouette probability.
+    """
+    vertices = jnp.asarray(vertices, jnp.float32)
+    if vertices.ndim != 3 or vertices.shape[-1] != 3:
+        raise ValueError(
+            "Vertices must have shape [batch_size, vertex_count, 3].")
+    triangles = jnp.asarray(triangles, jnp.int32)
+    if triangles.ndim != 2 or triangles.shape[-1] != 3:
+        raise ValueError("Triangles must have shape [triangle_count, 3].")
+    batch_size = vertices.shape[0]
+    light_positions = jnp.asarray(light_positions, jnp.float32)
+    if light_positions.ndim != 3 or light_positions.shape[-1] != 3:
+        raise ValueError(
+            "light_positions must have shape [batch_size, light_count, 3].")
+    light_intensities = jnp.asarray(light_intensities, jnp.float32)
+    if light_intensities.ndim != 2:
+        raise ValueError(
+            "light_intensities must have shape [batch_size, light_count].")
+    diffuse_colors = jnp.asarray(diffuse_colors, jnp.float32)
+    if diffuse_colors.ndim != 3 or diffuse_colors.shape[-1] != 3:
+        raise ValueError(
+            "diffuse_colors must have shape [batch_size, vertex_count, 3].")
+
+    from .mesh_renderer import _broadcast_camera_vec, _broadcast_scalar
+    camera_position = _broadcast_camera_vec(camera_position, batch_size,
+                                            "camera_position")
+    camera_lookat = _broadcast_camera_vec(camera_lookat, batch_size,
+                                          "camera_lookat")
+    camera_up = _broadcast_camera_vec(camera_up, batch_size, "camera_up")
+    fov_y = _broadcast_scalar(fov_y, batch_size, "fov_y")
+    near_clip = _broadcast_scalar(near_clip, batch_size, "near_clip")
+    far_clip = _broadcast_scalar(far_clip, batch_size, "far_clip")
+
+    clip_space_transforms = camera.clip_space_transforms(
+        camera_position, camera_lookat, camera_up, fov_y, near_clip,
+        far_clip, image_width, image_height)
+    normals = mesh.compute_vertex_normals(vertices, triangles)
+
+    return rasterize(
+        vertices, triangles, normals, diffuse_colors, light_positions,
+        light_intensities, clip_space_transforms, image_width, image_height,
+        sigma_val, gamma_val, blur_radius=blur_radius, config=config)

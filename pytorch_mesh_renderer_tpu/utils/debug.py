@@ -1,0 +1,39 @@
+"""Debug & observability helpers.
+
+Parity target: /root/reference/src/common/debug_utils.py:3-11 (full-tensor
+printing, NaN/Inf assertion), upgraded for the JAX execution model: the
+host-side checks work on concrete arrays, and `jit`-safe variants are
+provided via jax.debug so the numeric guards survive tracing (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def debug_tensor(tensor, msg: str = "") -> None:
+    """Pretty-print a full tensor (host-side)."""
+    with np.printoptions(threshold=np.inf, linewidth=200):
+        print("[debug tensor] {}".format(msg))
+        print(np.asarray(tensor))
+
+
+def check_isnan_isinf(tensor, msg: str = "") -> None:
+    """Raise ValueError if the (concrete) tensor contains NaN or Inf."""
+    arr = np.asarray(tensor)
+    if np.isnan(arr).any() or np.isinf(arr).any():
+        raise ValueError(msg)
+
+
+def debug_check_finite(tensor, msg: str = "") -> None:
+    """jit-safe NaN/Inf check: prints a warning from inside compiled code.
+
+    Usable under jit/vmap where `check_isnan_isinf` cannot run. Use
+    `jax.debug.callback`-based printing rather than raising so compiled
+    training steps are never invalidated.
+    """
+    bad = jnp.logical_or(jnp.isnan(tensor).any(), jnp.isinf(tensor).any())
+    jax.debug.print("[debug_check_finite] {msg}: non_finite={bad}",
+                    msg=msg, bad=bad)

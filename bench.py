@@ -1,0 +1,170 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+North-star metric (BASELINE.json): fwd+bwd renders/sec at 256^2 on the hard
+renderer, batch-4 Phong-lit teapot (2 directional lights). The baseline
+anchor is the reference implementation measured on CPU (see
+BASELINE_MEASURED below for provenance); `vs_baseline` is ours / reference.
+
+Usage: python bench.py [--size N] [--batch N] [--iters N] [--soft]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Reference (andrewkchan/pytorch_mesh_renderer) throughput measured on this
+# image's CPU (1 core), batch-4 256x256 teapot, Phong, fwd+bwd per optimizer
+# step, via the reference's fastest backend (C++ CppExtension kernel,
+# USE_CPP_RASTERIZER=True). Measured by scripts/measure_reference.py; units:
+# full batch-4 fwd+bwd steps/sec * 4 = renders/sec.
+BASELINE_MEASURED = {
+    "hard_teapot_256_fwdbwd_renders_per_sec": None,  # filled by measurement
+}
+_BASELINE_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+if os.path.exists(_BASELINE_FILE):
+    with open(_BASELINE_FILE) as f:
+        BASELINE_MEASURED.update(json.load(f))
+
+TEAPOT_CANDIDATES = [
+    os.environ.get("MESH_RENDERER_TEAPOT", ""),
+    "/root/reference/src/examples/teapot.obj",
+]
+
+
+def load_mesh():
+    """Teapot if the reference assets are present, else a ~2k-tri sphere."""
+    from pytorch_mesh_renderer_tpu.utils import obj_io
+    from pytorch_mesh_renderer_tpu.models import shapes
+
+    for path in TEAPOT_CANDIDATES:
+        if path and os.path.exists(path):
+            vertices, triangles, normals = obj_io.load_obj(path)
+            return np.asarray(vertices), np.asarray(triangles), \
+                np.asarray(normals), "teapot"
+    v, t, n = shapes.sphere(1.0, resolution=32)
+    return np.asarray(v), np.asarray(t), np.asarray(n), "sphere32"
+
+
+def build_scene(batch, size):
+    import jax.numpy as jnp
+    from pytorch_mesh_renderer_tpu.ops import camera
+
+    v, t, n, mesh_name = load_mesh()
+    # Hard renderer expects CW winding; OBJ/shapes are CCW.
+    t = t[:, ::-1].copy()
+    vertices = jnp.tile(jnp.asarray(v)[None], [batch, 1, 1])
+    normals = jnp.tile(jnp.asarray(n)[None], [batch, 1, 1])
+    angles = jnp.stack([jnp.zeros(batch), jnp.linspace(0.0, 1.0, batch),
+                        jnp.zeros(batch)], axis=-1)
+    rot = camera.euler_matrices(angles)[:, :3, :3]
+    vertices = jnp.einsum("bij,bvj->bvi", rot, vertices)
+    normals = jnp.einsum("bij,bvj->bvi", rot, normals)
+    diffuse = jnp.ones_like(vertices) * jnp.array([[[0.8, 0.6, 0.4]]])
+    eye = jnp.tile(jnp.array([[0.0, 1.0, 4.0]], jnp.float32), [batch, 1])
+    center = jnp.zeros([batch, 3], jnp.float32)
+    up = jnp.tile(jnp.array([[0.0, 1.0, 0.0]], jnp.float32), [batch, 1])
+    lights = jnp.tile(
+        jnp.array([[[-2.0, 2.0, 4.0], [3.0, -1.0, 4.0]]], jnp.float32),
+        [batch, 1, 1])
+    intensities = jnp.ones([batch, 2, 3], jnp.float32)
+    return dict(vertices=vertices, triangles=np.asarray(t), normals=normals,
+                diffuse=diffuse, eye=eye, center=center, up=up,
+                lights=lights, intensities=intensities,
+                mesh_name=mesh_name, tri_count=int(t.shape[0]))
+
+
+def bench_hard(batch, size, iters):
+    import jax
+    import jax.numpy as jnp
+    from pytorch_mesh_renderer_tpu.models import mesh_renderer
+
+    scene = build_scene(batch, size)
+    triangles = scene["triangles"]
+
+    def loss_fn(vertices):
+        images = mesh_renderer.render(
+            vertices, triangles, scene["normals"], scene["diffuse"],
+            scene["eye"], scene["center"], scene["up"], scene["lights"],
+            scene["intensities"], size, size)
+        return jnp.mean(images[..., :3] ** 2)
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+    # Warmup / compile.
+    loss, grads = step(scene["vertices"])
+    jax.block_until_ready((loss, grads))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, grads = step(scene["vertices"])
+    jax.block_until_ready((loss, grads))
+    dt = time.perf_counter() - t0
+    return batch * iters / dt, scene
+
+
+def bench_soft(batch, size, iters):
+    import jax
+    import jax.numpy as jnp
+    from pytorch_mesh_renderer_tpu.models import soft_mesh_renderer
+
+    scene = build_scene(batch, size)
+    triangles = scene["triangles"][:, ::-1].copy()  # soft wants CCW
+
+    def loss_fn(vertices):
+        images = soft_mesh_renderer.render(
+            vertices, triangles, scene["diffuse"], scene["eye"],
+            scene["center"], scene["up"], scene["lights"][..., :3],
+            scene["intensities"][..., 0], size, size)
+        return jnp.mean(images[..., 3] ** 2)
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+    loss, grads = step(scene["vertices"])
+    jax.block_until_ready((loss, grads))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, grads = step(scene["vertices"])
+    jax.block_until_ready((loss, grads))
+    dt = time.perf_counter() - t0
+    return batch * iters / dt, scene
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--size", type=int, default=256)
+    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--soft", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    platform = jax.devices()[0].platform
+
+    if args.soft:
+        value, scene = bench_soft(args.batch, args.size, args.iters)
+        metric = (f"soft fwd+bwd renders/sec @ {args.size}^2 "
+                  f"({scene['mesh_name']}, batch {args.batch}, {platform})")
+        baseline = None
+    else:
+        value, scene = bench_hard(args.batch, args.size, args.iters)
+        metric = (f"hard fwd+bwd renders/sec @ {args.size}^2 "
+                  f"({scene['mesh_name']}, batch {args.batch}, {platform})")
+        baseline = BASELINE_MEASURED.get(
+            "hard_teapot_256_fwdbwd_renders_per_sec")
+
+    vs_baseline = (value / baseline) if baseline else None
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": "renders/sec",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,3 +1,4 @@
 """Compute ops: camera math, mesh ops, rasterization kernels, shading."""
 
-from . import barycentric, camera, math_utils, mesh, shading  # noqa: F401
+from . import (barycentric, camera, losses, math_utils, mesh,  # noqa: F401
+               shading)

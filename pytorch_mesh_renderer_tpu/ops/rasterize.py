@@ -29,11 +29,13 @@ def _select_backend(cfg):
 
 
 def rasterize_barycentric(clip_space_vertices, triangles, image_width,
-                          image_height, config=None):
+                          image_height, config=None, row_offset=None,
+                          full_height=None):
     """Rasterize one mesh in clip space to (ids, barycentrics, z-buffer).
 
     Backend dispatch equivalent of rasterize.py:15-25. See
-    rasterize_xla.rasterize_barycentric_xla for the output contract.
+    rasterize_xla.rasterize_barycentric_xla for the output contract and the
+    row-sharding (`row_offset`/`full_height`) semantics.
     """
     cfg = config or config_lib.HARD_CONFIG
     backend = _select_backend(cfg)
@@ -44,14 +46,16 @@ def rasterize_barycentric(clip_space_vertices, triangles, image_width,
             backend = "xla"
         else:
             return rasterize_barycentric_pallas(
-                clip_space_vertices, triangles, image_width, image_height)
+                clip_space_vertices, triangles, image_width, image_height,
+                row_offset=row_offset, full_height=full_height)
     return rasterize_barycentric_xla(
         clip_space_vertices, triangles, image_width, image_height,
-        cfg.triangle_chunk)
+        cfg.triangle_chunk, row_offset=row_offset, full_height=full_height)
 
 
 def rasterize(world_space_vertices, attributes, triangles, camera_matrices,
-              image_width, image_height, background_value, config=None):
+              image_width, image_height, background_value, config=None,
+              row_offset=None, full_height=None):
     """Rasterize a batch of meshes and interpolate vertex attributes.
 
     Args:
@@ -73,12 +77,13 @@ def rasterize(world_space_vertices, attributes, triangles, camera_matrices,
         camera_matrices, world_space_vertices)
     return rasterize_clip_space(clip_space_vertices, attributes, triangles,
                                 image_width, image_height, background_value,
-                                config=config)
+                                config=config, row_offset=row_offset,
+                                full_height=full_height)
 
 
 def rasterize_clip_space(clip_space_vertices, attributes, triangles,
                          image_width, image_height, background_value,
-                         config=None):
+                         config=None, row_offset=None, full_height=None):
     """Rasterize clip-space meshes and interpolate vertex attributes.
 
     Semantics (rasterize.py:66-152): per-pixel corner attributes are gathered
@@ -97,7 +102,8 @@ def rasterize_clip_space(clip_space_vertices, attributes, triangles,
 
     def kernel(verts):
         return rasterize_barycentric(verts, tris, image_width, image_height,
-                                     config=config)
+                                     config=config, row_offset=row_offset,
+                                     full_height=full_height)
 
     px_triangle_ids, px_barycentric, _ = jax.vmap(kernel)(clip_space_vertices)
 

@@ -1,0 +1,277 @@
+"""Hard barycentric rasterizer — tiled Pallas TPU kernel.
+
+TPU-native replacement for the reference's native C++ kernel
+(/root/reference/src/mesh_renderer/kernels/rasterize_triangles.cpp:302-419).
+The C++ kernel loops triangles and scans each one's screen bbox, mutating a
+z-buffer sequentially — a formulation that cannot parallelize. Here the
+image is split into VPU-aligned tiles (grid), and each tile keeps its
+z-buffer / winner-id / barycentric accumulators **in VMEM** while streaming
+per-triangle coefficient rows through a chunked loop:
+
+  * edge functions use the same Olano-Greer sign-corrected adjugate as the
+    reference (cpp:39-87, built host-side in ops/barycentric.py), so
+    rasterization stays crack-free;
+  * the sequential z-buffer becomes a per-chunk min-reduction merged into
+    the VMEM carry (min z wins, depth ties break to the larger triangle id
+    — equivalent to the C++ kernel's strict `z > z_buffer` skip under
+    later-triangle overwrite, cpp:395-409);
+  * the C++ bbox pixel scan (cpp:355-371) becomes chunk-level culling: a
+    triangle chunk whose collective NDC bbox misses the tile is skipped
+    entirely (`lax.cond`), the tiled analogue of SURVEY.md §5's "per-tile
+    triangle binning".
+
+The backward pass reuses the closed-form analytic gradient of
+rasterize_xla._backward (cpp:131-273 semantics: barycentric-sum cutoff 0.9,
+no gradient to vertex z), which is a gather + elementwise + scatter-add
+that XLA already emits efficiently.
+
+The kernel runs compiled on TPU and in interpreter mode elsewhere (so the
+same semantics are testable on the CPU CI mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .barycentric import unnormalized_matrix_inverse
+from .rasterize_xla import _backward
+
+# Tile dimensions (f32 min tile is 8x128; 64x128 amortizes loop overhead).
+TILE_H = 64
+TILE_W = 128
+# Triangles processed per inner step ([chunk, TILE_H, TILE_W] temporaries).
+TRI_CHUNK = 8
+
+# Packed triangle-data columns (see _pack_triangle_data).
+_COLS = 20
+
+
+def _pack_triangle_data(clip_vertices, triangles):
+    """Precomputes per-triangle rasterization data as one [T_pad, 20] array.
+
+    Columns: 0-8 sign-corrected adjugate rows (edge coefficients a,b,c per
+    edge), 9-11 vertex clip z, 12-14 vertex clip w, 15 liveness (0 when all
+    w < 0, cull, cpp:338-341; or padding), 16-19 conservative NDC bbox
+    (min_x, max_x, min_y, max_y) used for chunk culling.
+    """
+    tris = jnp.asarray(triangles, jnp.int32)
+    tv = clip_vertices[tris]  # [T, 3, 4]
+    x, y = tv[..., 0], tv[..., 1]
+    vz, vw = tv[..., 2], tv[..., 3]
+    m_inv, _ = unnormalized_matrix_inverse(x, y, vw)  # [T, 3, 3]
+    live = (~jnp.all(vw < 0.0, axis=-1)).astype(jnp.float32)
+
+    # Conservative NDC bbox: vertices with w <= eps make the triangle's
+    # screen extent unbounded -> full-screen bbox.
+    eps = 1e-6
+    safe_w = jnp.where(jnp.abs(vw) > eps, vw, eps)
+    ndc_x = x / safe_w
+    ndc_y = y / safe_w
+    unbounded = jnp.any(vw <= eps, axis=-1)
+    big = 4.0
+    min_x = jnp.where(unbounded, -big, jnp.min(ndc_x, axis=-1))
+    max_x = jnp.where(unbounded, big, jnp.max(ndc_x, axis=-1))
+    min_y = jnp.where(unbounded, -big, jnp.min(ndc_y, axis=-1))
+    max_y = jnp.where(unbounded, big, jnp.max(ndc_y, axis=-1))
+
+    data = jnp.concatenate([
+        m_inv.reshape(-1, 9), vz, vw, live[:, None],
+        jnp.stack([min_x, max_x, min_y, max_y], axis=-1),
+    ], axis=-1)  # [T, 20]
+
+    t = data.shape[0]
+    pad = (-t) % TRI_CHUNK
+    if pad:
+        data = jnp.pad(data, [(0, pad), (0, 0)])  # padded rows: live=0
+    return data
+
+
+def _kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref, z_ref, *,
+            image_width, image_height, full_height, n_tri_padded):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+
+    # NDC coordinates of this tile's pixel centers (row 0 = NDC bottom,
+    # cpp:376-377). row_off shifts rows when the image is row-sharded.
+    rows = (jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+        + ti * TILE_H + row_off_ref[0])
+    cols = (jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+        + tj * TILE_W)
+    py = (rows + 0.5) * (2.0 / full_height) - 1.0
+    px = (cols + 0.5) * (2.0 / image_width) - 1.0
+
+    # Tile bounds in NDC for chunk culling (half-pixel slack).
+    tile_min_x = (tj * TILE_W) * (2.0 / image_width) - 1.0
+    tile_max_x = ((tj + 1) * TILE_W) * (2.0 / image_width) - 1.0
+    tile_min_y = (ti * TILE_H + row_off_ref[0]) * (2.0 / full_height) - 1.0
+    tile_max_y = (((ti + 1) * TILE_H + row_off_ref[0])
+                  * (2.0 / full_height) - 1.0)
+
+    n_chunks = n_tri_padded // TRI_CHUNK
+
+    def chunk_body(c, carry):
+        best_z, best_id, best_b0, best_b1, best_b2 = carry
+        data = tri_ref[pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]  # [C, 20]
+
+        # Chunk-level bbox cull: skip when no triangle overlaps the tile.
+        hit = ((data[:, 16] <= tile_max_x) & (data[:, 17] >= tile_min_x) &
+               (data[:, 18] <= tile_max_y) & (data[:, 19] >= tile_min_y) &
+               (data[:, 15] > 0.0))
+        any_hit = jnp.any(hit)
+
+        def rasterize_chunk(carry):
+            best_z, best_id, best_b0, best_b1, best_b2 = carry
+
+            def col(k):  # [C, 1, 1] broadcastable column
+                return data[:, k].reshape(TRI_CHUNK, 1, 1)
+
+            e0 = col(0) * px + col(1) * py + col(2)  # [C, TH, TW]
+            e1 = col(3) * px + col(4) * py + col(5)
+            e2 = col(6) * px + col(7) * py + col(8)
+            inside = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) &
+                      ((e0 > 0.0) | (e1 > 0.0) | (e2 > 0.0)))
+            sum_e = e0 + e1 + e2
+            inv_sum = 1.0 / jnp.where(sum_e != 0.0, sum_e, 1.0)
+            b0 = e0 * inv_sum
+            b1 = e1 * inv_sum
+            b2 = e2 * inv_sum
+            clip_z = b0 * col(9) + b1 * col(10) + b2 * col(11)
+            clip_w = b0 * col(12) + b1 * col(13) + b2 * col(14)
+            z = clip_z / jnp.where(clip_w != 0.0, clip_w, 1.0)
+            valid = (inside & (col(15) > 0.0) & (z >= -1.0) & (z <= 1.0))
+
+            tri_ids = (c * TRI_CHUNK
+                       + jax.lax.broadcasted_iota(
+                           jnp.int32, (TRI_CHUNK, 1, 1), 0))
+            z_masked = jnp.where(valid, z, 2.0)
+            chunk_z = jnp.min(z_masked, axis=0)  # [TH, TW]
+            at_min = valid & (z_masked == chunk_z[None])
+            chunk_id = jnp.max(
+                jnp.where(at_min, tri_ids, -1), axis=0)  # [TH, TW]
+            winner = at_min & (tri_ids == chunk_id[None])
+            wf = winner.astype(jnp.float32)
+            chunk_b0 = jnp.sum(wf * b0, axis=0)
+            chunk_b1 = jnp.sum(wf * b1, axis=0)
+            chunk_b2 = jnp.sum(wf * b2, axis=0)
+
+            better = ((chunk_z < best_z) |
+                      ((chunk_z == best_z) & (chunk_id > best_id)))
+            best_z = jnp.where(better, chunk_z, best_z)
+            best_id = jnp.where(better, chunk_id, best_id)
+            best_b0 = jnp.where(better, chunk_b0, best_b0)
+            best_b1 = jnp.where(better, chunk_b1, best_b1)
+            best_b2 = jnp.where(better, chunk_b2, best_b2)
+            return best_z, best_id, best_b0, best_b1, best_b2
+
+        return jax.lax.cond(any_hit, rasterize_chunk, lambda cr: cr,
+                            (best_z, best_id, best_b0, best_b1, best_b2))
+
+    zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    init = (jnp.ones((TILE_H, TILE_W), jnp.float32),
+            jnp.full((TILE_H, TILE_W), -1, jnp.int32),
+            zeros, zeros, zeros)
+    best_z, best_id, best_b0, best_b1, best_b2 = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, init)
+
+    id_ref[:] = jnp.maximum(best_id, 0)
+    b0_ref[:] = best_b0
+    b1_ref[:] = best_b1
+    b2_ref[:] = best_b2
+    z_ref[:] = best_z
+
+
+def _forward_pallas(clip_vertices, triangles, row_offset, image_width,
+                    image_height, full_height, interpret):
+    tri_data = _pack_triangle_data(clip_vertices, triangles)
+    n_tri_padded = tri_data.shape[0]
+
+    grid = (pl.cdiv(image_height, TILE_H), pl.cdiv(image_width, TILE_W))
+    kernel = functools.partial(
+        _kernel, image_width=image_width, image_height=image_height,
+        full_height=full_height, n_tri_padded=n_tri_padded)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((image_height, image_width), jnp.int32),
+        jax.ShapeDtypeStruct((image_height, image_width), jnp.float32),
+        jax.ShapeDtypeStruct((image_height, image_width), jnp.float32),
+        jax.ShapeDtypeStruct((image_height, image_width), jnp.float32),
+        jax.ShapeDtypeStruct((image_height, image_width), jnp.float32),
+    ]
+    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    row_off = jnp.asarray(row_offset, jnp.float32).reshape(1)
+
+    ids, b0, b1, b2, z = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # row offset scalar
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full triangle table
+        ],
+        out_specs=[tile_spec] * 5,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(row_off, tri_data)
+    bc = jnp.stack([b0, b1, b2], axis=-1)
+    # Background contract: id 0, bc 0, z 1 (kernels' shared contract).
+    return ids, bc, jnp.where(z > 1.0, 1.0, z)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _pallas_core(clip_vertices, triangles, row_offset, image_width,
+                 image_height, full_height, interpret):
+    return _forward_pallas(clip_vertices, triangles, row_offset, image_width,
+                           image_height, full_height, interpret)
+
+
+def _fwd(clip_vertices, triangles, row_offset, image_width, image_height,
+         full_height, interpret):
+    out = _forward_pallas(clip_vertices, triangles, row_offset, image_width,
+                          image_height, full_height, interpret)
+    ids, bc, _ = out
+    return out, (clip_vertices, triangles, ids, bc)
+
+
+def _bwd(image_width, image_height, full_height, interpret, residuals,
+         cotangents):
+    clip_vertices, triangles, ids, bc = residuals
+    _, df_dbc, _ = cotangents
+    df_dvertices = _backward(clip_vertices, triangles, ids, bc, df_dbc)
+    tri_cot = np.zeros(triangles.shape, dtype=jax.dtypes.float0)
+    row_cot = np.zeros((), dtype=jax.dtypes.float0)
+    return df_dvertices, tri_cot, row_cot
+
+
+_pallas_core.defvjp(_fwd, _bwd)
+
+
+def rasterize_barycentric_pallas(clip_vertices, triangles, image_width,
+                                 image_height, row_offset=None,
+                                 full_height=None, interpret=None):
+    """Differentiable tiled-Pallas hard rasterization of one mesh.
+
+    Same contract as rasterize_xla.rasterize_barycentric_xla (ids /
+    barycentrics / z-buffer; gradients through barycentrics only).
+    `interpret` defaults to True off-TPU so tests exercise identical
+    semantics on the CPU mesh.
+    """
+    if full_height is None:
+        full_height = image_height
+    if row_offset is None:
+        row_offset = jnp.zeros((), jnp.int32)
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except Exception:  # pragma: no cover
+            interpret = True
+    return _pallas_core(clip_vertices, jnp.asarray(triangles, jnp.int32),
+                        jnp.asarray(row_offset, jnp.int32), int(image_width),
+                        int(image_height), int(full_height), bool(interpret))

@@ -44,15 +44,21 @@ from .barycentric import (DEGENERATE_BARYCENTRIC_CUTOFF, ndc_pixel_centers,
                           pixel_is_inside, unnormalized_matrix_inverse)
 
 
-def _forward(clip_vertices, triangles, image_width, image_height,
-             triangle_chunk):
-    """Forward rasterization for one image.
+def _forward(clip_vertices, triangles, row_offset, image_width, image_height,
+             triangle_chunk, full_height):
+    """Forward rasterization for one image (or a horizontal strip of one).
 
     Args:
       clip_vertices: [V, 4] f32 clip-space xyzw vertices.
       triangles: [T, 3] int32 vertex indices.
-      image_width, image_height: static ints.
+      row_offset: i32 scalar (may be traced): first pixel row of this strip
+        within the `full_height`-row image. 0 for whole-image rendering;
+        nonzero when image rows are sharded across devices ('space' axis of
+        the device mesh, parallel/sharded.py).
+      image_width, image_height: static ints — strip dimensions.
       triangle_chunk: static int, triangles per scan step.
+      full_height: static int — total image rows (== image_height when not
+        row-sharded).
 
     Returns:
       (px_triangle_ids [H, W] i32, px_barycentric [H, W, 3] f32,
@@ -82,7 +88,10 @@ def _forward(clip_vertices, triangles, image_width, image_height,
     ids_s = jnp.arange(n_chunks * chunk, dtype=jnp.int32).reshape(
         n_chunks, chunk)
 
-    px, py = ndc_pixel_centers(image_width, image_height)
+    px, _ = ndc_pixel_centers(image_width, full_height)
+    rows = jnp.arange(image_height, dtype=jnp.float32) + jnp.asarray(
+        row_offset, jnp.float32)
+    py = (rows + 0.5) / (0.5 * full_height) - 1.0
     px = px[None, :, None]  # [1, W, 1]
     py = py[:, None, None]  # [H, 1, 1]
 
@@ -176,9 +185,37 @@ def _backward(clip_vertices, triangles, px_triangle_ids, px_barycentric,
     return df_dvertices
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _rasterize_core(clip_vertices, triangles, row_offset, image_width,
+                    image_height, triangle_chunk, full_height):
+    return _forward(clip_vertices, triangles, row_offset, image_width,
+                    image_height, triangle_chunk, full_height)
+
+
+def _fwd(clip_vertices, triangles, row_offset, image_width, image_height,
+         triangle_chunk, full_height):
+    out = _forward(clip_vertices, triangles, row_offset, image_width,
+                   image_height, triangle_chunk, full_height)
+    ids, bc, _ = out
+    return out, (clip_vertices, triangles, ids, bc)
+
+
+def _bwd(image_width, image_height, triangle_chunk, full_height, residuals,
+         cotangents):
+    clip_vertices, triangles, ids, bc = residuals
+    _, df_dbc, _ = cotangents  # id and z-buffer cotangents are discarded
+    df_dvertices = _backward(clip_vertices, triangles, ids, bc, df_dbc)
+    tri_cot = np.zeros(triangles.shape, dtype=jax.dtypes.float0)
+    row_cot = np.zeros((), dtype=jax.dtypes.float0)
+    return df_dvertices, tri_cot, row_cot
+
+
+_rasterize_core.defvjp(_fwd, _bwd)
+
+
 def rasterize_barycentric_xla(clip_vertices, triangles, image_width,
-                              image_height, triangle_chunk=64):
+                              image_height, triangle_chunk=64,
+                              row_offset=None, full_height=None):
     """Differentiable hard rasterization of one mesh (unbatched).
 
     Drop-in equivalent of the reference kernel dispatch
@@ -186,24 +223,16 @@ def rasterize_barycentric_xla(clip_vertices, triangles, image_width,
     in, (triangle ids, barycentric coordinates, z-buffer) out. Gradients flow
     only through the barycentric output (the z-buffer cotangent is discarded,
     matching rasterize_triangles_ext.py:46-63).
+
+    `row_offset`/`full_height` render a horizontal strip of a taller image —
+    the spatial-parallel path where a TPU mesh axis shards pixel rows
+    (parallel/sharded.py). The backward pass is row-independent, so each
+    shard's vertex gradient is a plain partial sum (combined by psum).
     """
-    return _forward(clip_vertices, triangles, image_width, image_height,
-                    triangle_chunk)
-
-
-def _fwd(clip_vertices, triangles, image_width, image_height, triangle_chunk):
-    out = _forward(clip_vertices, triangles, image_width, image_height,
-                   triangle_chunk)
-    ids, bc, _ = out
-    return out, (clip_vertices, triangles, ids, bc)
-
-
-def _bwd(image_width, image_height, triangle_chunk, residuals, cotangents):
-    clip_vertices, triangles, ids, bc = residuals
-    _, df_dbc, _ = cotangents  # id and z-buffer cotangents are discarded
-    df_dvertices = _backward(clip_vertices, triangles, ids, bc, df_dbc)
-    tri_cot = np.zeros(triangles.shape, dtype=jax.dtypes.float0)
-    return df_dvertices, tri_cot
-
-
-rasterize_barycentric_xla.defvjp(_fwd, _bwd)
+    if full_height is None:
+        full_height = image_height
+    if row_offset is None:
+        row_offset = jnp.zeros((), jnp.int32)
+    return _rasterize_core(clip_vertices, triangles,
+                           jnp.asarray(row_offset, jnp.int32), image_width,
+                           image_height, triangle_chunk, int(full_height))

@@ -73,7 +73,8 @@ def _safe_div(num, den):
 def rasterize_batch(clip_space_vertices, triangles, world_space_vertices,
                     normals, diffuse_colors, light_positions,
                     light_intensities, image_width, image_height, sigma_val,
-                    gamma_val, blur_radius=0.01, config=None):
+                    gamma_val, blur_radius=0.01, config=None, row_offset=None,
+                    full_height=None):
     """Soft-rasterize one mesh already transformed to clip space.
 
     Args / returns match the reference's rasterize_batch
@@ -149,11 +150,18 @@ def rasterize_batch(clip_space_vertices, triangles, world_space_vertices,
     )
 
     # Pixel-center NDC grid; the soft renderer addresses rows top-down
-    # (rasterize.py:315-316), so no final flip is needed.
+    # (rasterize.py:315-316), so no final flip is needed. When image rows are
+    # sharded over a mesh axis, row_offset/full_height address this strip's
+    # rows inside the full image (parallel/sharded.py).
+    if full_height is None:
+        full_height = image_height
+    if row_offset is None:
+        row_offset = jnp.zeros((), jnp.int32)
     px = (2.0 * (jnp.arange(image_width, dtype=jnp.float32) + 0.5) /
           image_width - 1.0)
-    py = (-2.0 * (jnp.arange(image_height, dtype=jnp.float32) + 0.5) /
-          image_height + 1.0)
+    rows = jnp.arange(image_height, dtype=jnp.float32) + jnp.asarray(
+        row_offset, jnp.float32)
+    py = -2.0 * (rows + 0.5) / full_height + 1.0
     pxg = px[None, :, None]  # [1, W, 1]
     pyg = py[:, None, None]  # [H, 1, 1]
 
@@ -213,11 +221,17 @@ def rasterize_batch(clip_space_vertices, triangles, world_space_vertices,
                  (is_inside | (sq_dist <= sq_blur)) & z_ok)
 
         # Fused per-sample Phong diffuse shading (rasterize.py:183-208).
-        p3 = jnp.einsum("hwck,ckx->hwcx", sample_bc, data["world"])
+        # Full f32 precision: on TPU the default einsum/matmul is bf16,
+        # which visibly shifts shaded colors (~1e-3) off the reference.
+        hi = jax.lax.Precision.HIGHEST
+        p3 = jnp.einsum("hwck,ckx->hwcx", sample_bc, data["world"],
+                        precision=hi)
         n3 = normalize(
-            jnp.einsum("hwck,ckx->hwcx", sample_bc, data["normal"]),
+            jnp.einsum("hwck,ckx->hwcx", sample_bc, data["normal"],
+                       precision=hi),
             p=2, axis=-1)
-        dcol = jnp.einsum("hwck,ckx->hwcx", sample_bc, data["color"])
+        dcol = jnp.einsum("hwck,ckx->hwcx", sample_bc, data["color"],
+                          precision=hi)
         dirs = normalize(
             light_positions[None, None, None, :, :] - p3[..., None, :],
             p=2, axis=-1)  # [H, W, C, L, 3]
@@ -266,7 +280,8 @@ def rasterize_batch(clip_space_vertices, triangles, world_space_vertices,
 def rasterize(world_space_vertices, triangles, normals, diffuse_colors,
               light_positions, light_intensities, camera_matrices,
               image_width, image_height, sigma_val, gamma_val,
-              blur_radius=0.01, config=None):
+              blur_radius=0.01, config=None, row_offset=None,
+              full_height=None):
     """Soft-rasterize a batch of meshes (vmapped over the batch axis).
 
     Parity: rasterize.py:14-110, with the reference's Python batch loop
@@ -279,7 +294,8 @@ def rasterize(world_space_vertices, triangles, normals, diffuse_colors,
         return rasterize_batch(
             clip_v, triangles, world_v, norms, colors, lights, intensities,
             image_width, image_height, sigma_val, gamma_val,
-            blur_radius=blur_radius, config=config)
+            blur_radius=blur_radius, config=config, row_offset=row_offset,
+            full_height=full_height)
 
     return jax.vmap(one)(clip_space_vertices, world_space_vertices, normals,
                          diffuse_colors, light_positions, light_intensities)

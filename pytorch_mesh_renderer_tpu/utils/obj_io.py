@@ -62,29 +62,57 @@ def load_obj(filename: str, normalize: bool = True):
       centered near zero, exactly as the reference does
       (obj_utils.py:69-74).
     """
-    with open(filename) as f:
-        lines = f.readlines()
+    parsed = None
+    try:
+        from . import native
+        parsed = native.parse_obj(filename)
+    except Exception:  # noqa: BLE001 - native path is best-effort
+        parsed = None
 
-    vertices, all_normals, vertex_id_to_normals, faces = (
-        _parse_obj_python(lines))
-
-    vertices = np.array(vertices, np.float32).reshape(-1, 3)
-    faces = np.array(faces, np.int32).reshape(-1, 3) - 1
-    all_normals = np.array(all_normals, np.float32).reshape(-1, 3)
-
-    if not vertex_id_to_normals:
-        normals = np.asarray(compute_vertex_normals(
-            jnp.asarray(vertices)[None], jnp.asarray(faces))[0])
+    if parsed is not None:
+        # Native C++ parser path: vectorized normal averaging.
+        vertices, all_normals, faces, fn_ids = parsed
+        vertices = vertices.astype(np.float32)
+        faces = faces.astype(np.int32)
+        has_vn = (fn_ids >= 0)
+        if all_normals is None or not has_vn.any():
+            normals = np.asarray(compute_vertex_normals(
+                jnp.asarray(vertices)[None], jnp.asarray(faces))[0])
+        else:
+            acc = np.zeros_like(vertices)
+            counts = np.zeros([len(vertices)], np.float32)
+            vid = faces.ravel()[has_vn.ravel()]
+            nid = fn_ids.ravel()[has_vn.ravel()]
+            np.add.at(acc, vid, all_normals[nid])
+            np.add.at(counts, vid, 1.0)
+            normals = np.where(counts[:, None] > 0,
+                               acc / np.maximum(counts[:, None], 1.0), 1.0)
+            norm = np.linalg.norm(normals, axis=1, keepdims=True)
+            normals = normals / np.maximum(norm, 1e-12)
     else:
-        normals = np.zeros_like(vertices)
-        for i in range(len(vertices)):
-            ids = vertex_id_to_normals.get(i)
-            if not ids:
-                normals[i] = 1.0
-                continue
-            normals[i] = all_normals[ids].sum(axis=0) / len(ids)
-        norm = np.linalg.norm(normals, axis=1, keepdims=True)
-        normals = normals / np.maximum(norm, 1e-12)
+        with open(filename) as f:
+            lines = f.readlines()
+
+        vertices, all_normals, vertex_id_to_normals, faces = (
+            _parse_obj_python(lines))
+
+        vertices = np.array(vertices, np.float32).reshape(-1, 3)
+        faces = np.array(faces, np.int32).reshape(-1, 3) - 1
+        all_normals = np.array(all_normals, np.float32).reshape(-1, 3)
+
+        if not vertex_id_to_normals:
+            normals = np.asarray(compute_vertex_normals(
+                jnp.asarray(vertices)[None], jnp.asarray(faces))[0])
+        else:
+            normals = np.zeros_like(vertices)
+            for i in range(len(vertices)):
+                ids = vertex_id_to_normals.get(i)
+                if not ids:
+                    normals[i] = 1.0
+                    continue
+                normals[i] = all_normals[ids].sum(axis=0) / len(ids)
+            norm = np.linalg.norm(normals, axis=1, keepdims=True)
+            normals = normals / np.maximum(norm, 1e-12)
 
     if normalize:
         # Normalize into a unit cube centered around zero (reference order of

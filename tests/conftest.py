@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Some environments register an external TPU plugin that wins the default-
+# backend choice even when JAX_PLATFORMS=cpu is set; the config update below
+# forces the CPU backend regardless.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REFERENCE_ROOT = os.environ.get("MESH_RENDERER_REFERENCE", "/root/reference")

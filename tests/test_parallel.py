@@ -1,0 +1,145 @@
+"""SPMD scale-out tests on a virtual 8-device CPU mesh.
+
+The reference has no distributed capability to mirror (SURVEY.md §2
+"Parallelism"); these tests pin down the net-new contract: sharded rendering
+over (data, space) meshes is bit-identical to the single-device path, and
+gradients flow through shard_map with the right implicit psums.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from pytorch_mesh_renderer_tpu import parallel
+from pytorch_mesh_renderer_tpu.models import shapes
+from pytorch_mesh_renderer_tpu.ops import camera, mesh as mesh_ops
+from pytorch_mesh_renderer_tpu.ops.rasterize import rasterize
+from pytorch_mesh_renderer_tpu.ops import soft_rasterize
+
+needs_8_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def _cube_scene(batch=4):
+    verts, tris, _ = shapes.cube(2.0)
+    verts = jnp.tile(verts[None], [batch, 1, 1])
+    # Distinct per-batch rotations.
+    angles = jnp.stack(
+        [jnp.linspace(0.1, 0.5, batch),
+         jnp.linspace(-0.3, 0.4, batch),
+         jnp.zeros(batch)], axis=-1)
+    rot = camera.euler_matrices(angles)[:, :3, :3]
+    verts = jnp.einsum("bij,bvj->bvi", rot, verts)
+    eye = jnp.tile(jnp.array([[0.0, 0.0, 6.0]]), [batch, 1])
+    center = jnp.zeros([batch, 3])
+    up = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), [batch, 1])
+    cams = camera.clip_space_transforms(
+        eye, center, up, jnp.full([batch], 40.0), jnp.full([batch], 0.01),
+        jnp.full([batch], 10.0), 16, 16)
+    attrs = jnp.tile(
+        jnp.linspace(0.0, 1.0, verts.shape[1] * 3).reshape(
+            1, verts.shape[1], 3), [batch, 1, 1])
+    return verts, tris, attrs, cams
+
+
+@needs_8_devices
+def test_make_mesh_shapes():
+    m = parallel.make_mesh(data=4, space=2)
+    assert m.shape["data"] == 4 and m.shape["space"] == 2
+    m = parallel.make_mesh()
+    assert m.shape["data"] == 8 and m.shape["space"] == 1
+
+
+@needs_8_devices
+@pytest.mark.parametrize("data,space", [(4, 2), (2, 4), (8, 1)])
+def test_sharded_rasterize_matches_single_device(data, space):
+    verts, tris, attrs, cams = _cube_scene(batch=max(4, data))
+    background = np.zeros([3], np.float32)
+    expected = rasterize(verts, attrs, tris, cams, 16, 16, background)
+
+    m = parallel.make_mesh(data=data, space=space)
+    got = jax.jit(lambda v, a, c: parallel.sharded_rasterize(
+        m, v, a, tris, c, 16, 16, background))(verts, attrs, cams)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+
+@needs_8_devices
+def test_sharded_rasterize_gradients_match():
+    verts, tris, attrs, cams = _cube_scene(batch=4)
+    background = np.zeros([3], np.float32)
+    m = parallel.make_mesh(data=2, space=4)
+
+    def loss_single(v):
+        img = rasterize(v, attrs, tris, cams, 16, 16, background)
+        return jnp.mean(img ** 2)
+
+    def loss_sharded(v):
+        img = parallel.sharded_rasterize(
+            m, v, attrs, tris, cams, 16, 16, background)
+        return jnp.mean(img ** 2)
+
+    g_single = jax.grad(loss_single)(verts)
+    g_sharded = jax.jit(jax.grad(loss_sharded))(verts)
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single),
+                               rtol=1e-4, atol=1e-6)
+
+
+@needs_8_devices
+def test_sharded_soft_rasterize_matches_single_device():
+    batch = 2
+    verts, tris, _ = shapes.sphere(1.0, resolution=6)
+    verts = jnp.tile(verts[None], [batch, 1, 1])
+    normals = mesh_ops.compute_vertex_normals(verts, tris)
+    colors = jnp.ones_like(verts) * 0.7
+    lights = jnp.tile(jnp.array([[[0.0, 3.0, 3.0]]]), [batch, 1, 1])
+    intensities = jnp.ones([batch, 1])
+    eye = jnp.tile(jnp.array([[0.0, 0.0, 4.0]]), [batch, 1])
+    center = jnp.zeros([batch, 3])
+    up = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), [batch, 1])
+    cams = camera.clip_space_transforms(
+        eye, center, up, jnp.full([batch], 40.0), jnp.full([batch], 0.01),
+        jnp.full([batch], 10.0), 16, 16)
+
+    expected = soft_rasterize.rasterize(
+        verts, tris, normals, colors, lights, intensities, cams, 16, 16,
+        1e-4, 1e-4)
+
+    m = parallel.make_mesh(data=2, space=4)
+    got = jax.jit(lambda v, n, c, l, i, cam: parallel.sharded_soft_rasterize(
+        m, v, tris, n, c, l, i, cam, 16, 16, 1e-4, 1e-4))(
+            verts, normals, colors, lights, intensities, cams)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-4, atol=1e-5)
+
+
+@needs_8_devices
+def test_spmd_train_step_reduces_loss():
+    import optax
+
+    verts, tris, attrs, cams = _cube_scene(batch=4)
+    background = np.zeros([3], np.float32)
+    m = parallel.make_mesh(data=4, space=2)
+    target = rasterize(verts, attrs, tris, cams, 16, 16, background)
+
+    def loss_fn(params, batch):
+        v = batch["verts"] + params["offset"]
+        img = parallel.sharded_rasterize(
+            m, v, attrs, tris, batch["cams"], 16, 16, background)
+        return jnp.mean(jnp.abs(img - batch["target"]))
+
+    opt = optax.adam(5e-3)
+    params = parallel.replicate(m, {"offset": jnp.full([1, 1, 3], 0.05)})
+    opt_state = opt.init(params)
+    batch = parallel.shard_batch(
+        m, {"verts": verts, "cams": cams, "target": target})
+    step = parallel.make_train_step(loss_fn, opt)
+
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]

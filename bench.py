@@ -24,7 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # USE_CPP_RASTERIZER=True). Measured by scripts/measure_reference.py; units:
 # full batch-4 fwd+bwd steps/sec * 4 = renders/sec.
 BASELINE_MEASURED = {
-    "hard_teapot_256_fwdbwd_renders_per_sec": None,  # filled by measurement
+    # Measured 2026-08-16 by scripts/measure_reference.py on this image's
+    # CPU (1 core): reference's fastest path (C++ CppExtension kernel,
+    # USE_CPP_RASTERIZER=True), batch-4 256^2 teapot, full render + autograd
+    # backward per step.
+    "hard_teapot_256_fwdbwd_renders_per_sec": 0.1198,
 }
 _BASELINE_FILE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")

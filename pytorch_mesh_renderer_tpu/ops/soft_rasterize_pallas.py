@@ -1,26 +1,39 @@
-"""Soft (SoftRas) rasterizer — tiled Pallas TPU forward kernel.
+"""Soft (SoftRas) rasterizer — tiled Pallas TPU forward AND backward kernels.
 
-TPU-native replacement for the original SoftRas CUDA forward (the reference
-keeps a Python stand-in it documents as unoptimized,
-/root/reference/src/soft_mesh_renderer/README.md:7; per-pixel loop at
-src/soft_mesh_renderer/rasterize.py:309-418). Same strategy as the hard
-Pallas kernel (rasterize_pallas.py): image tiles on the grid, per-tile
-online-softmax accumulators living in VMEM, triangle data streamed in
-chunks with chunk-level bbox culling replacing the reference's quadtree
-(a pointer tree is TPU-hostile, SURVEY.md §5).
+TPU-native equivalent of the original SoftRas CUDA forward/backward pair
+(the reference keeps an unoptimized Python stand-in,
+/root/reference/src/soft_mesh_renderer/README.md:7, per-pixel loop at
+src/soft_mesh_renderer/rasterize.py:309-418, backward via torch autograd).
+Same layout as the hard Pallas kernel (rasterize_pallas.py): image tiles on
+the grid, per-tile accumulators in VMEM, triangle data streamed in chunks
+with chunk-level bbox culling replacing the quadtree (SURVEY.md §5).
 
-Per (pixel, triangle) the kernel fuses the whole SoftRas chain exactly as
-the XLA semantic spec (ops/soft_rasterize.py): screen barycentrics,
-nearest-edge fallback for exterior samples (rasterize.py:144-176),
-perspective-corrected L1-normalized sample barycentrics, depth remap,
-Phong diffuse shading (rasterize.py:183-208), sigmoid-distance coverage,
+Forward fuses the whole SoftRas chain per (pixel, triangle): screen
+barycentrics, nearest-edge fallback (rasterize.py:144-176),
+perspective-corrected L1-normalized sample barycentrics, depth remap, Phong
+diffuse shading (rasterize.py:183-208), sigmoid-distance coverage and
 softmax-depth aggregation with the EPS=1e-10 background floor
-(rasterize.py:388-414), and the silhouette product.
+(rasterize.py:388-414), silhouette product. It additionally emits the
+per-pixel softmax state (running max, weight sum) as residuals.
 
-Differentiation: this module provides the fast *forward*; its custom_vjp
-recomputes through the XLA implementation for the backward pass (exact
-same gradients as the default backend). A hand-written backward kernel is
-the planned follow-up.
+Backward is a hand-derived recompute kernel (the TPU analogue of SoftRas'
+soft_rasterize_cuda backward): it re-evaluates the forward quantities per
+(pixel, triangle) chunk and accumulates analytic gradients w.r.t. the
+packed per-triangle table (barycentric matrix rows, NDC vertices, clip w,
+depths, world/normal/color attributes) plus light positions/intensities;
+per-pixel reductions stay in VMEM and the [T, 53] gradient table is the
+only HBM traffic. Gradients to clip-space vertices/attributes then follow
+by transposing the (cheap, [T]-sized) packing function with jax.vjp.
+
+Derivative notes (checked against jax AD of the XLA spec in
+tests/test_soft_pallas.py):
+  * the softmax max `m` cancels analytically (multiplying numerator and
+    denominator by e^m), so it is treated as a constant;
+  * the silhouette term folds as dA * sil * cov * sgn/sigma — the
+    (1 - cov) factors cancel, which also removes the 0/0 at cov == 1;
+  * the nearest-point distance uses the envelope theorem: at the interior
+    optimum d(d^2)/dt = 0, so d(d^2)/d(endpoint) = 2 r (1-t | t) exactly;
+  * the clip gates (ndl in (0,1), t in (0,1)) zero the respective paths.
 """
 
 from __future__ import annotations
@@ -45,7 +58,14 @@ _NEG_BIG = -1e30
 
 def _pack_triangle_data(clip_space_vertices, triangles, world_space_vertices,
                         normals, diffuse_colors, blur_radius):
-    """Per-triangle data table [T_pad, 53]; see column map in the kernel."""
+    """Per-triangle data table [T_pad, 53].
+
+    Columns: 0-8 normalized 2D-inverse rows (screen barycentric coeffs),
+    9-14 NDC corner xy (x0,y0,x1,y1,x2,y2), 15-17 NDC corner z, 18-20 clip
+    w, 21 keep (back-face/degenerate cull, rasterize.py:331-336), 22-25
+    blur-inflated NDC bbox, 26-34 world corner xyz, 35-43 corner normals,
+    44-52 corner diffuse rgb.
+    """
     tris = jnp.asarray(triangles, jnp.int32)
     tv = clip_space_vertices[tris]  # [T, 3, 4]
     w = tv[..., 3]
@@ -60,8 +80,8 @@ def _pack_triangle_data(clip_space_vertices, triangles, world_space_vertices,
            vx[:, 2] * (vy[:, 0] - vy[:, 1]))
     keep = ((area < 0.0) & (det != 0.0)).astype(jnp.float32)
 
-    inv_det = jnp.where(det != 0.0, 1.0 / jnp.where(det != 0.0, det, 1.0),
-                        0.0)
+    safe_det = jnp.where(det != 0.0, det, 1.0)
+    inv_det = jnp.where(det != 0.0, 1.0 / safe_det, 0.0)
     adj = jnp.stack([
         jnp.stack([vy[:, 1] - vy[:, 2], vx[:, 2] - vx[:, 1],
                    vx[:, 1] * vy[:, 2] - vx[:, 2] * vy[:, 1]], axis=-1),
@@ -81,15 +101,15 @@ def _pack_triangle_data(clip_space_vertices, triangles, world_space_vertices,
                      vy[:, 2]], axis=-1)
 
     data = jnp.concatenate([
-        m2_inv.reshape(-1, 9),                     # 0-8
-        vxy,                                       # 9-14
-        vz,                                        # 15-17
-        w,                                         # 18-20
-        keep[:, None],                             # 21
-        bbox,                                      # 22-25
+        m2_inv.reshape(-1, 9),                      # 0-8
+        vxy,                                        # 9-14
+        vz,                                         # 15-17
+        w,                                          # 18-20
+        keep[:, None],                              # 21
+        bbox,                                       # 22-25
         world_space_vertices[tris].reshape(-1, 9),  # 26-34
-        normals[tris].reshape(-1, 9),              # 35-43
-        diffuse_colors[tris].reshape(-1, 9),       # 44-52
+        normals[tris].reshape(-1, 9),               # 35-43
+        diffuse_colors[tris].reshape(-1, 9),        # 44-52
     ], axis=-1)
 
     t = data.shape[0]
@@ -100,10 +120,9 @@ def _pack_triangle_data(clip_space_vertices, triangles, world_space_vertices,
 
 
 def _segment_sq_dist(pxv, pyv, ax, ay, bx, by):
-    """Squared distance from tile pixels to segment [a, b] and the offset t.
+    """Squared distance from tile pixels to segment [a, b], plus offset t.
 
-    Vector equivalent of point_to_segment_nearest (rasterize.py:159-176).
-    a/b are [C, 1, 1] scalars per triangle; pxv/pyv are [TH, TW].
+    Vector form of point_to_segment_nearest (rasterize.py:159-176).
     """
     abx = bx - ax
     aby = by - ay
@@ -116,9 +135,129 @@ def _segment_sq_dist(pxv, pyv, ax, ay, bx, by):
     return nx * nx + ny * ny, t
 
 
-def _kernel(params_ref, lights_ref, tri_ref, rgb0_ref, rgb1_ref, rgb2_ref,
-            alpha_ref, *, image_width, image_height, full_height,
-            n_tri_padded, n_lights):
+def _tile_coords(ti, tj, row_off, image_width, full_height):
+    rows = (jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+        + ti * TILE_H + row_off)
+    cols = (jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+        + tj * TILE_W)
+    py = -2.0 * (rows + 0.5) / full_height + 1.0
+    px = 2.0 * (cols + 0.5) / image_width - 1.0
+    return px, py
+
+
+def _tile_bounds(ti, tj, row_off, image_width, full_height):
+    tile_min_x = (tj * TILE_W) * (2.0 / image_width) - 1.0
+    tile_max_x = ((tj + 1) * TILE_W) * (2.0 / image_width) - 1.0
+    tile_max_y = -(ti * TILE_H + row_off) * (2.0 / full_height) + 1.0
+    tile_min_y = -((ti + 1) * TILE_H + row_off) * (2.0 / full_height) + 1.0
+    return tile_min_x, tile_max_x, tile_min_y, tile_max_y
+
+
+def _chunk_forward(data, px, py, lights_ref, sigma, gamma, sq_blur,
+                   n_lights):
+    """Recomputes all per-(pixel, chunk-triangle) forward quantities.
+
+    Shared by the forward and backward kernels so they agree bit-for-bit.
+    Returns a dict of [C, TH, TW] arrays (plus per-light lists).
+    """
+    def col(k):
+        return data[:, k].reshape(TRI_CHUNK, 1, 1)
+
+    q = {}
+    bc0 = col(0) * px + col(1) * py + col(2)
+    bc1 = col(3) * px + col(4) * py + col(5)
+    bc2 = col(6) * px + col(7) * py + col(8)
+    inside = (bc0 >= 0.0) & (bc1 >= 0.0) & (bc2 >= 0.0)
+
+    x0, y0 = col(9), col(10)
+    x1, y1 = col(11), col(12)
+    x2, y2 = col(13), col(14)
+    d01, t01 = _segment_sq_dist(px, py, x0, y0, x1, y1)
+    d12, t12 = _segment_sq_dist(px, py, x1, y1, x2, y2)
+    d20, t20 = _segment_sq_dist(px, py, x2, y2, x0, y0)
+    sq_dist = jnp.minimum(d01, jnp.minimum(d12, d20))
+    pick01 = (d01 <= d12) & (d01 <= d20)
+    pick12 = (~pick01) & (d12 <= d20)
+    pick20 = (~pick01) & (~pick12)
+    eb0 = jnp.where(pick01, 1.0 - t01, jnp.where(pick12, 0.0, t20))
+    eb1 = jnp.where(pick01, t01, jnp.where(pick12, 1.0 - t12, 0.0))
+    eb2 = jnp.where(pick01, 0.0, jnp.where(pick12, t12, 1.0 - t20))
+
+    cb0 = jnp.where(inside, bc0, eb0)
+    cb1 = jnp.where(inside, bc1, eb1)
+    cb2 = jnp.where(inside, bc2, eb2)
+
+    w0r, w1r, w2r = col(18), col(19), col(20)
+    w0 = jnp.where(w0r != 0.0, w0r, 1.0)
+    w1 = jnp.where(w1r != 0.0, w1r, 1.0)
+    w2 = jnp.where(w2r != 0.0, w2r, 1.0)
+    ow0 = cb0 / w0
+    ow1 = cb1 / w1
+    ow2 = cb2 / w2
+    denom = jnp.abs(ow0) + jnp.abs(ow1) + jnp.abs(ow2)
+    inv_denom = 1.0 / jnp.maximum(denom, 1e-12)
+    sb0 = ow0 * inv_denom
+    sb1 = ow1 * inv_denom
+    sb2 = ow2 * inv_denom
+
+    z_ndc = sb0 * col(15) + sb1 * col(16) + sb2 * col(17)
+    z = 0.5 - z_ndc * 0.5
+    z_ok = (z >= 0.0) & (z <= 1.0)
+
+    in_bbox = ((px >= col(22)) & (px <= col(23)) &
+               (py >= col(24)) & (py <= col(25)))
+    keep = col(21) > 0.0
+    valid = keep & in_bbox & (inside | (sq_dist <= sq_blur)) & z_ok
+
+    p3x = sb0 * col(26) + sb1 * col(29) + sb2 * col(32)
+    p3y = sb0 * col(27) + sb1 * col(30) + sb2 * col(33)
+    p3z = sb0 * col(28) + sb1 * col(31) + sb2 * col(34)
+    ux = sb0 * col(35) + sb1 * col(38) + sb2 * col(41)
+    uy = sb0 * col(36) + sb1 * col(39) + sb2 * col(42)
+    uz = sb0 * col(37) + sb1 * col(40) + sb2 * col(43)
+    u_norm = jnp.sqrt(ux * ux + uy * uy + uz * uz)
+    n_inv = 1.0 / jnp.maximum(u_norm, 1e-12)
+    nx, ny, nz = ux * n_inv, uy * n_inv, uz * n_inv
+    cr = sb0 * col(44) + sb1 * col(47) + sb2 * col(50)
+    cg = sb0 * col(45) + sb1 * col(48) + sb2 * col(51)
+    cbl = sb0 * col(46) + sb1 * col(49) + sb2 * col(52)
+
+    light_sum = jnp.zeros_like(p3x)
+    light_terms = []
+    for l in range(n_lights):
+        lx = lights_ref[l, 0]
+        ly = lights_ref[l, 1]
+        lz = lights_ref[l, 2]
+        intensity = lights_ref[l, 3]
+        dx = lx - p3x
+        dy = ly - p3y
+        dz = lz - p3z
+        d_norm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        d_inv = 1.0 / jnp.maximum(d_norm, 1e-12)
+        ct = (dx * nx + dy * ny + dz * nz) * d_inv
+        ndl = jnp.clip(ct, 0.0, 1.0)
+        light_sum = light_sum + ndl * intensity
+        light_terms.append(dict(dx=dx, dy=dy, dz=dz, d_inv=d_inv, ct=ct,
+                                ndl=ndl, intensity=intensity))
+    shade_r = cr * light_sum
+    shade_g = cg * light_sum
+    shade_b = cbl * light_sum
+
+    sgn = jnp.where(inside, 1.0, -1.0)
+    cov_raw = jax.nn.sigmoid(sgn * sq_dist / sigma)
+    coverage = jnp.where(valid, cov_raw, 0.0)
+    logit = jnp.where(valid, z / gamma, _NEG_BIG)
+
+    q.update(locals())
+    q.pop("data"); q.pop("lights_ref"); q.pop("q")
+    return q
+
+
+def _fwd_kernel(params_ref, lights_ref, tri_ref, rgb0_ref, rgb1_ref,
+                rgb2_ref, alpha_ref, max_ref, sumw_ref, *, image_width,
+                image_height, full_height, n_tri_padded, n_lights):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     sigma = params_ref[0]
@@ -126,133 +265,39 @@ def _kernel(params_ref, lights_ref, tri_ref, rgb0_ref, rgb1_ref, rgb2_ref,
     sq_blur = params_ref[2]
     row_off = params_ref[3]
 
-    rows = (jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
-        + ti * TILE_H + row_off)
-    cols = (jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-        + tj * TILE_W)
-    # Soft renderer rows are top-down (rasterize.py:315-316).
-    py = -2.0 * (rows + 0.5) / full_height + 1.0
-    px = 2.0 * (cols + 0.5) / image_width - 1.0
-
-    tile_min_x = (tj * TILE_W) * (2.0 / image_width) - 1.0
-    tile_max_x = ((tj + 1) * TILE_W) * (2.0 / image_width) - 1.0
-    # y decreases with the row index.
-    tile_max_y = -(ti * TILE_H + row_off) * (2.0 / full_height) + 1.0
-    tile_min_y = -((ti + 1) * TILE_H + row_off) * (2.0 / full_height) + 1.0
-
+    px, py = _tile_coords(ti, tj, row_off, image_width, full_height)
+    tmin_x, tmax_x, tmin_y, tmax_y = _tile_bounds(
+        ti, tj, row_off, image_width, full_height)
     n_chunks = n_tri_padded // TRI_CHUNK
 
     def chunk_body(c, carry):
         run_max, sum_w, sum_r, sum_g, sum_b, sil = carry
-        data = tri_ref[pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]  # [C, 53]
-
-        hit = ((data[:, 22] <= tile_max_x) & (data[:, 23] >= tile_min_x) &
-               (data[:, 24] <= tile_max_y) & (data[:, 25] >= tile_min_y) &
+        data = tri_ref[pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]
+        hit = ((data[:, 22] <= tmax_x) & (data[:, 23] >= tmin_x) &
+               (data[:, 24] <= tmax_y) & (data[:, 25] >= tmin_y) &
                (data[:, 21] > 0.0))
-        any_hit = jnp.any(hit)
 
         def process(carry):
             run_max, sum_w, sum_r, sum_g, sum_b, sil = carry
-
-            def col(k):
-                return data[:, k].reshape(TRI_CHUNK, 1, 1)
-
-            bc0 = col(0) * px + col(1) * py + col(2)  # [C, TH, TW]
-            bc1 = col(3) * px + col(4) * py + col(5)
-            bc2 = col(6) * px + col(7) * py + col(8)
-            inside = (bc0 >= 0.0) & (bc1 >= 0.0) & (bc2 >= 0.0)
-
-            x0, y0 = col(9), col(10)
-            x1, y1 = col(11), col(12)
-            x2, y2 = col(13), col(14)
-            d01, t01 = _segment_sq_dist(px, py, x0, y0, x1, y1)
-            d12, t12 = _segment_sq_dist(px, py, x1, y1, x2, y2)
-            d20, t20 = _segment_sq_dist(px, py, x2, y2, x0, y0)
-            sq_dist = jnp.minimum(d01, jnp.minimum(d12, d20))
-            # First-minimum edge selection (torch argmin tie order).
-            pick01 = (d01 <= d12) & (d01 <= d20)
-            pick12 = (~pick01) & (d12 <= d20)
-            eb0 = jnp.where(pick01, 1.0 - t01,
-                            jnp.where(pick12, 0.0, t20))
-            eb1 = jnp.where(pick01, t01,
-                            jnp.where(pick12, 1.0 - t12, 0.0))
-            eb2 = jnp.where(pick01, 0.0,
-                            jnp.where(pick12, t12, 1.0 - t20))
-
-            cb0 = jnp.where(inside, bc0, eb0)
-            cb1 = jnp.where(inside, bc1, eb1)
-            cb2 = jnp.where(inside, bc2, eb2)
-
-            w0, w1, w2 = col(18), col(19), col(20)
-            ow0 = cb0 / jnp.where(w0 != 0.0, w0, 1.0)
-            ow1 = cb1 / jnp.where(w1 != 0.0, w1, 1.0)
-            ow2 = cb2 / jnp.where(w2 != 0.0, w2, 1.0)
-            denom = jnp.abs(ow0) + jnp.abs(ow1) + jnp.abs(ow2)
-            inv_denom = 1.0 / jnp.maximum(denom, 1e-12)
-            sb0 = ow0 * inv_denom
-            sb1 = ow1 * inv_denom
-            sb2 = ow2 * inv_denom
-
-            z_ndc = sb0 * col(15) + sb1 * col(16) + sb2 * col(17)
-            z = 0.5 - z_ndc * 0.5
-            z_ok = (z >= 0.0) & (z <= 1.0)
-
-            in_bbox = ((px >= col(22)) & (px <= col(23)) &
-                       (py >= col(24)) & (py <= col(25)))
-            keep = col(21) > 0.0
-            valid = keep & in_bbox & (inside | (sq_dist <= sq_blur)) & z_ok
-
-            # Phong diffuse shading fused per sample (rasterize.py:183-208).
-            p3x = sb0 * col(26) + sb1 * col(29) + sb2 * col(32)
-            p3y = sb0 * col(27) + sb1 * col(30) + sb2 * col(33)
-            p3z = sb0 * col(28) + sb1 * col(31) + sb2 * col(34)
-            nx = sb0 * col(35) + sb1 * col(38) + sb2 * col(41)
-            ny = sb0 * col(36) + sb1 * col(39) + sb2 * col(42)
-            nz = sb0 * col(37) + sb1 * col(40) + sb2 * col(43)
-            n_norm = jnp.sqrt(nx * nx + ny * ny + nz * nz)
-            n_inv = 1.0 / jnp.maximum(n_norm, 1e-12)
-            nx, ny, nz = nx * n_inv, ny * n_inv, nz * n_inv
-            cr = sb0 * col(44) + sb1 * col(47) + sb2 * col(50)
-            cg = sb0 * col(45) + sb1 * col(48) + sb2 * col(51)
-            cb = sb0 * col(46) + sb1 * col(49) + sb2 * col(52)
-
-            light_sum = jnp.zeros_like(p3x)
-            for l in range(n_lights):
-                lx = lights_ref[l, 0]
-                ly = lights_ref[l, 1]
-                lz = lights_ref[l, 2]
-                intensity = lights_ref[l, 3]
-                dx = lx - p3x
-                dy = ly - p3y
-                dz = lz - p3z
-                d_norm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-                d_inv = 1.0 / jnp.maximum(d_norm, 1e-12)
-                ndl = jnp.clip((dx * nx + dy * ny + dz * nz) * d_inv,
-                               0.0, 1.0)
-                light_sum = light_sum + ndl * intensity
-            shade_r = cr * light_sum
-            shade_g = cg * light_sum
-            shade_b = cb * light_sum
-
-            sgn = jnp.where(inside, 1.0, -1.0)
-            coverage = jax.nn.sigmoid(sgn * sq_dist / sigma)
-            coverage = jnp.where(valid, coverage, 0.0)
-            logit = jnp.where(valid, z / gamma, _NEG_BIG)
-
-            chunk_max = jnp.max(logit, axis=0)  # [TH, TW]
+            q = _chunk_forward(data, px, py, lights_ref, sigma, gamma,
+                               sq_blur, n_lights)
+            coverage, logit = q["coverage"], q["logit"]
+            chunk_max = jnp.max(logit, axis=0)
             new_max = jnp.maximum(run_max, chunk_max)
             scale = jnp.exp(run_max - new_max)
             expw = coverage * jnp.exp(logit - new_max[None])
             sum_w = sum_w * scale + jnp.sum(expw, axis=0)
-            sum_r = sum_r * scale + jnp.sum(expw * shade_r, axis=0)
-            sum_g = sum_g * scale + jnp.sum(expw * shade_g, axis=0)
-            sum_b = sum_b * scale + jnp.sum(expw * shade_b, axis=0)
-            sil = sil * jnp.prod(1.0 - coverage, axis=0)
+            sum_r = sum_r * scale + jnp.sum(expw * q["shade_r"], axis=0)
+            sum_g = sum_g * scale + jnp.sum(expw * q["shade_g"], axis=0)
+            sum_b = sum_b * scale + jnp.sum(expw * q["shade_b"], axis=0)
+            one_minus = 1.0 - coverage
+            factor = one_minus[0]
+            for i in range(1, TRI_CHUNK):
+                factor = factor * one_minus[i]
+            sil = sil * factor
             return new_max, sum_w, sum_r, sum_g, sum_b, sil
 
-        return jax.lax.cond(any_hit, process, lambda cr: cr,
+        return jax.lax.cond(jnp.any(hit), process, lambda cr: cr,
                             (run_max, sum_w, sum_r, sum_g, sum_b, sil))
 
     zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
@@ -268,51 +313,311 @@ def _kernel(params_ref, lights_ref, tri_ref, rgb0_ref, rgb1_ref, rgb2_ref,
     rgb1_ref[:] = sum_g * inv_total
     rgb2_ref[:] = sum_b * inv_total
     alpha_ref[:] = 1.0 - sil
+    max_ref[:] = run_max
+    sumw_ref[:] = sum_w
 
 
-def _forward_pallas(clip_space_vertices, triangles, world_space_vertices,
-                    normals, diffuse_colors, light_positions,
-                    light_intensities, row_offset, image_width, image_height,
-                    sigma_val, gamma_val, blur_radius, full_height,
-                    interpret):
-    tri_data = _pack_triangle_data(
-        clip_space_vertices, triangles, world_space_vertices, normals,
-        diffuse_colors, blur_radius)
+def _bwd_kernel(params_ref, lights_ref, tri_ref, max_ref, sumw_ref, sil_ref,
+                rgb0_ref, rgb1_ref, rgb2_ref, dr_ref, dg_ref, db_ref,
+                da_ref, ddata_ref, dlights_ref, *, image_width, image_height,
+                full_height, n_tri_padded, n_lights):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    sigma = params_ref[0]
+    gamma = params_ref[1]
+    sq_blur = params_ref[2]
+    row_off = params_ref[3]
+
+    @pl.when((ti == 0) & (tj == 0))
+    def _init():
+        ddata_ref[:] = jnp.zeros_like(ddata_ref)
+        dlights_ref[:] = jnp.zeros_like(dlights_ref)
+
+    px, py = _tile_coords(ti, tj, row_off, image_width, full_height)
+    tmin_x, tmax_x, tmin_y, tmax_y = _tile_bounds(
+        ti, tj, row_off, image_width, full_height)
+    n_chunks = n_tri_padded // TRI_CHUNK
+
+    # Tiles at the image boundary are padded; the padded region of the
+    # residual/cotangent blocks is uninitialized memory. Mask it to neutral
+    # values or its garbage (possibly NaN) would poison the per-triangle
+    # sum-reductions below (0 * NaN == NaN).
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    pix_ok = ((row_idx + ti * TILE_H < image_height) &
+              (col_idx + tj * TILE_W < image_width))
+
+    def load(ref, default):
+        return jnp.where(pix_ok, ref[:], default)
+
+    run_max = load(max_ref, 1.0)
+    sum_w = load(sumw_ref, 0.0)
+    sil = load(sil_ref, 1.0)
+    rgb_r = load(rgb0_ref, 0.0)
+    rgb_g = load(rgb1_ref, 0.0)
+    rgb_b = load(rgb2_ref, 0.0)
+    d_r = load(dr_ref, 0.0)
+    d_g = load(dg_ref, 0.0)
+    d_b = load(db_ref, 0.0)
+    d_a = load(da_ref, 0.0)
+    bg = jnp.maximum(jnp.exp(EPS / gamma - run_max), EPS)
+    inv_total = (1.0 / (sum_w + bg))[None]  # [1, TH, TW]
+
+    def acc(c, colidx, val):
+        """Accumulate sum-over-pixels of val [C, TH, TW] into column."""
+        red = jnp.sum(jnp.sum(val, axis=2), axis=1, keepdims=True)  # [C, 1]
+        sl = (pl.ds(c * TRI_CHUNK, TRI_CHUNK), pl.ds(colidx, 1))
+        ddata_ref[sl] = ddata_ref[sl] + red
+
+    def acc_light(l, comp, val):
+        red = jnp.sum(jnp.sum(jnp.sum(val, axis=2), axis=1, keepdims=True),
+                      axis=0, keepdims=True)  # [1, 1]
+        sl = (pl.ds(l, 1), pl.ds(comp, 1))
+        dlights_ref[sl] = dlights_ref[sl] + red
+
+    def chunk_body(c, _):
+        data = tri_ref[pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]
+        hit = ((data[:, 22] <= tmax_x) & (data[:, 23] >= tmin_x) &
+               (data[:, 24] <= tmax_y) & (data[:, 25] >= tmin_y) &
+               (data[:, 21] > 0.0))
+
+        def process(_):
+            def col(k):
+                return data[:, k].reshape(TRI_CHUNK, 1, 1)
+
+            q = _chunk_forward(data, px, py, lights_ref, sigma, gamma,
+                               sq_blur, n_lights)
+            cov = q["coverage"]                       # gated by valid
+            E = jnp.exp(q["logit"] - run_max[None])   # 0 for invalid lanes
+            W = cov * E
+
+            # rgb = sum(W * s) / (sum_w + bg); m cancels, bg const.
+            common = (d_r[None] * (q["shade_r"] - rgb_r[None]) +
+                      d_g[None] * (q["shade_g"] - rgb_g[None]) +
+                      d_b[None] * (q["shade_b"] - rgb_b[None])) * inv_total
+            ds_r = d_r[None] * W * inv_total
+            ds_g = d_g[None] * W * inv_total
+            ds_b = d_b[None] * W * inv_total
+
+            # coverage path: rgb term keeps sigma'(x) = cov(1-cov); the
+            # silhouette term's (1-cov) cancels against prod_{j!=c}.
+            dsq = (q["sgn"] / sigma) * (
+                d_a[None] * sil[None] * cov +
+                common * E * q["cov_raw"] * (1.0 - q["cov_raw"]) *
+                jnp.where(q["valid"], 1.0, 0.0))
+
+            # depth path: dW/dl = W; z = 0.5 - z_ndc/2; l = z/gamma.
+            dz_ndc = common * W / gamma * (-0.5)
+            dsb0 = dz_ndc * col(15)
+            dsb1 = dz_ndc * col(16)
+            dsb2 = dz_ndc * col(17)
+            acc(c, 15, dz_ndc * q["sb0"])
+            acc(c, 16, dz_ndc * q["sb1"])
+            acc(c, 17, dz_ndc * q["sb2"])
+
+            # shading path.
+            light_sum = q["light_sum"]
+            dcr = ds_r * light_sum
+            dcg = ds_g * light_sum
+            dcbl = ds_b * light_sum
+            dlight_sum = ds_r * q["cr"] + ds_g * q["cg"] + ds_b * q["cbl"]
+            nx, ny, nz = q["nx"], q["ny"], q["nz"]
+            dp3x = jnp.zeros_like(light_sum)
+            dp3y = jnp.zeros_like(light_sum)
+            dp3z = jnp.zeros_like(light_sum)
+            dnx = jnp.zeros_like(light_sum)
+            dny = jnp.zeros_like(light_sum)
+            dnz = jnp.zeros_like(light_sum)
+            for l in range(n_lights):
+                lt = q["light_terms"][l]
+                gate = ((lt["ct"] > 0.0) & (lt["ct"] < 1.0)).astype(
+                    jnp.float32)
+                dndl = dlight_sum * lt["intensity"] * gate
+                acc_light(l, 3, dlight_sum * lt["ndl"])
+                di = lt["d_inv"]
+                ct = lt["ct"]
+                ddx = dndl * (nx * di - ct * lt["dx"] * di * di)
+                ddy = dndl * (ny * di - ct * lt["dy"] * di * di)
+                ddz = dndl * (nz * di - ct * lt["dz"] * di * di)
+                dnx += dndl * lt["dx"] * di
+                dny += dndl * lt["dy"] * di
+                dnz += dndl * lt["dz"] * di
+                dp3x -= ddx
+                dp3y -= ddy
+                dp3z -= ddz
+                acc_light(l, 0, ddx)
+                acc_light(l, 1, ddy)
+                acc_light(l, 2, ddz)
+
+            # normalize backward: u -> n.
+            ndot = dnx * nx + dny * ny + dnz * nz
+            ninv = q["n_inv"]
+            dux = (dnx - nx * ndot) * ninv
+            duy = (dny - ny * ndot) * ninv
+            duz = (dnz - nz * ndot) * ninv
+
+            # attribute interpolation transposes (corner-major columns).
+            sb = (q["sb0"], q["sb1"], q["sb2"])
+            for k in range(3):
+                acc(c, 26 + 3 * k, dp3x * sb[k])
+                acc(c, 27 + 3 * k, dp3y * sb[k])
+                acc(c, 28 + 3 * k, dp3z * sb[k])
+                acc(c, 35 + 3 * k, dux * sb[k])
+                acc(c, 36 + 3 * k, duy * sb[k])
+                acc(c, 37 + 3 * k, duz * sb[k])
+                acc(c, 44 + 3 * k, dcr * sb[k])
+                acc(c, 45 + 3 * k, dcg * sb[k])
+                acc(c, 46 + 3 * k, dcbl * sb[k])
+            dsb0 += (dp3x * col(26) + dp3y * col(27) + dp3z * col(28) +
+                     dux * col(35) + duy * col(36) + duz * col(37) +
+                     dcr * col(44) + dcg * col(45) + dcbl * col(46))
+            dsb1 += (dp3x * col(29) + dp3y * col(30) + dp3z * col(31) +
+                     dux * col(38) + duy * col(39) + duz * col(40) +
+                     dcr * col(47) + dcg * col(48) + dcbl * col(49))
+            dsb2 += (dp3x * col(32) + dp3y * col(33) + dp3z * col(34) +
+                     dux * col(41) + duy * col(42) + duz * col(43) +
+                     dcr * col(50) + dcg * col(51) + dcbl * col(52))
+
+            # L1-normalize backward: sb = ow / sum(|ow|).
+            sdot = dsb0 * q["sb0"] + dsb1 * q["sb1"] + dsb2 * q["sb2"]
+            inv_d = q["inv_denom"]
+            dow0 = (dsb0 - sdot * jnp.sign(q["ow0"])) * inv_d
+            dow1 = (dsb1 - sdot * jnp.sign(q["ow1"])) * inv_d
+            dow2 = (dsb2 - sdot * jnp.sign(q["ow2"])) * inv_d
+            w0, w1, w2 = q["w0"], q["w1"], q["w2"]
+            dcb0 = dow0 / w0
+            dcb1 = dow1 / w1
+            dcb2 = dow2 / w2
+            acc(c, 18, -dow0 * q["cb0"] / (w0 * w0))
+            acc(c, 19, -dow1 * q["cb1"] / (w1 * w1))
+            acc(c, 20, -dow2 * q["cb2"] / (w2 * w2))
+
+            # inside: cb == screen barycentrics (linear in px, py, 1).
+            ins = q["inside"].astype(jnp.float32)
+            for i, dcb in enumerate((dcb0, dcb1, dcb2)):
+                g = dcb * ins
+                acc(c, 3 * i + 0, g * px)
+                acc(c, 3 * i + 1, g * py)
+                acc(c, 3 * i + 2, g)
+
+            # outside: cb from the picked edge's t.
+            outs = 1.0 - ins
+            dts = (
+                (dcb1 - dcb0) * outs * q["pick01"],
+                (dcb2 - dcb1) * outs * q["pick12"],
+                (dcb0 - dcb2) * outs * q["pick20"],
+            )
+            edges = (  # (ax, ay, bx, by, t, pick) per edge
+                (9, 10, 11, 12, q["t01"], q["pick01"]),
+                (11, 12, 13, 14, q["t12"], q["pick12"]),
+                (13, 14, 9, 10, q["t20"], q["pick20"]),
+            )
+            for (cax, cay, cbx, cby, t, pick), dt in zip(edges, dts):
+                ax, ay = col(cax), col(cay)
+                bx, by = col(cbx), col(cby)
+                abx = bx - ax
+                aby = by - ay
+                len2 = jnp.maximum(abx * abx + aby * aby, 1e-24)
+                qx = px - ax
+                qy = py - ay
+                tgate = ((t > 0.0) & (t < 1.0)).astype(jnp.float32)
+                dtg = dt * tgate
+                inv_len2 = 1.0 / len2
+                # d t / d a and d t / d b (derivation in module docstring).
+                da_tx = dtg * (-abx - qx + 2.0 * t * abx) * inv_len2
+                da_ty = dtg * (-aby - qy + 2.0 * t * aby) * inv_len2
+                db_tx = dtg * (qx - 2.0 * t * abx) * inv_len2
+                db_ty = dtg * (qy - 2.0 * t * aby) * inv_len2
+                # sq_dist path (envelope: t treated constant).
+                pickf = pick.astype(jnp.float32)
+                rx = ax + t * abx - px
+                ry = ay + t * aby - py
+                dsqp = dsq * pickf
+                da_sx = dsqp * 2.0 * rx * (1.0 - t)
+                da_sy = dsqp * 2.0 * ry * (1.0 - t)
+                db_sx = dsqp * 2.0 * rx * t
+                db_sy = dsqp * 2.0 * ry * t
+                acc(c, cax, da_tx + da_sx)
+                acc(c, cay, da_ty + da_sy)
+                acc(c, cbx, db_tx + db_sx)
+                acc(c, cby, db_ty + db_sy)
+            return 0
+
+        jax.lax.cond(jnp.any(hit), process, lambda _: 0, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+def _run_forward(tri_data, lights, params, image_width, image_height,
+                 full_height, n_lights, interpret):
     n_tri_padded = tri_data.shape[0]
-    n_lights = light_positions.shape[0]
-    lights = jnp.concatenate(
-        [jnp.asarray(light_positions, jnp.float32),
-         jnp.asarray(light_intensities, jnp.float32).reshape(-1, 1)], axis=1)
-    params = jnp.stack([
+    grid = (pl.cdiv(image_height, TILE_H), pl.cdiv(image_width, TILE_W))
+    kernel = functools.partial(
+        _fwd_kernel, image_width=image_width, image_height=image_height,
+        full_height=full_height, n_tri_padded=n_tri_padded,
+        n_lights=n_lights)
+    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((image_height, image_width),
+                                      jnp.float32)] * 6
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[tile_spec] * 6,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(params, lights, tri_data)
+
+
+def _run_backward(tri_data, lights, params, run_max, sum_w, sil, rgb,
+                  cotangent, image_width, image_height, full_height,
+                  n_lights, interpret):
+    n_tri_padded = tri_data.shape[0]
+    grid = (pl.cdiv(image_height, TILE_H), pl.cdiv(image_width, TILE_W))
+    kernel = functools.partial(
+        _bwd_kernel, image_width=image_width, image_height=image_height,
+        full_height=full_height, n_tri_padded=n_tri_padded,
+        n_lights=n_lights)
+    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    acc_spec_data = pl.BlockSpec(
+        (n_tri_padded, _COLS), lambda i, j: (0, 0),
+        memory_space=pltpu.VMEM)
+    acc_spec_lights = pl.BlockSpec(
+        (n_lights, 4), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    ddata, dlights = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + [tile_spec] * 10,
+        out_specs=[acc_spec_data, acc_spec_lights],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tri_padded, _COLS), jnp.float32),
+            jax.ShapeDtypeStruct((n_lights, 4), jnp.float32),
+        ],
+        interpret=interpret,
+    )(params, lights, tri_data, run_max, sum_w, sil, rgb[..., 0],
+      rgb[..., 1], rgb[..., 2], cotangent[..., 0], cotangent[..., 1],
+      cotangent[..., 2], cotangent[..., 3])
+    return ddata, dlights
+
+
+def _make_params(sigma_val, gamma_val, blur_radius, row_offset):
+    return jnp.stack([
         jnp.asarray(sigma_val, jnp.float32).reshape(()),
         jnp.asarray(gamma_val, jnp.float32).reshape(()),
         jnp.asarray(blur_radius, jnp.float32).reshape(()) ** 2,
         jnp.asarray(row_offset, jnp.float32).reshape(()),
     ])
-
-    grid = (pl.cdiv(image_height, TILE_H), pl.cdiv(image_width, TILE_W))
-    kernel = functools.partial(
-        _kernel, image_width=image_width, image_height=image_height,
-        full_height=full_height, n_tri_padded=n_tri_padded,
-        n_lights=n_lights)
-
-    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
-                             memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((image_height, image_width),
-                                      jnp.float32)] * 4
-    r, g, b, a = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # sigma/gamma/blur/row
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # lights [L, 4]
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # triangle table
-        ],
-        out_specs=[tile_spec] * 4,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(params, lights, tri_data)
-    return jnp.stack([r, g, b, a], axis=-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
@@ -321,53 +626,58 @@ def _soft_pallas_core(clip_space_vertices, triangles, world_space_vertices,
                       light_intensities, row_offset, image_width,
                       image_height, sigma_val, gamma_val, blur_radius,
                       full_height, interpret):
-    return _forward_pallas(
-        clip_space_vertices, triangles, world_space_vertices, normals,
-        diffuse_colors, light_positions, light_intensities, row_offset,
-        image_width, image_height, sigma_val, gamma_val, blur_radius,
-        full_height, interpret)
-
-
-def _xla_reference(args, image_width, image_height, sigma_val, gamma_val,
-                   blur_radius, full_height):
-    (clip_v, triangles, world_v, normals, colors, lights, intensities,
-     row_offset) = args
-    return soft_xla.rasterize_batch(
-        clip_v, triangles, world_v, normals, colors, lights, intensities,
-        image_width, image_height, sigma_val, gamma_val,
-        blur_radius=blur_radius, row_offset=row_offset,
-        full_height=full_height)
+    out, _ = _fwd(clip_space_vertices, triangles, world_space_vertices,
+                  normals, diffuse_colors, light_positions,
+                  light_intensities, row_offset, image_width, image_height,
+                  sigma_val, gamma_val, blur_radius, full_height, interpret)
+    return out
 
 
 def _fwd(clip_v, triangles, world_v, normals, colors, lights, intensities,
          row_offset, image_width, image_height, sigma_val, gamma_val,
          blur_radius, full_height, interpret):
-    out = _forward_pallas(
-        clip_v, triangles, world_v, normals, colors, lights, intensities,
-        row_offset, image_width, image_height, sigma_val, gamma_val,
-        blur_radius, full_height, interpret)
+    tri_data = _pack_triangle_data(clip_v, triangles, world_v, normals,
+                                   colors, blur_radius)
+    lights_packed = jnp.concatenate(
+        [jnp.asarray(lights, jnp.float32),
+         jnp.asarray(intensities, jnp.float32).reshape(-1, 1)], axis=1)
+    params = _make_params(sigma_val, gamma_val, blur_radius, row_offset)
+    r, g, b, a, run_max, sum_w = _run_forward(
+        tri_data, lights_packed, params, image_width, image_height,
+        full_height, lights.shape[0], interpret)
+    out = jnp.stack([r, g, b, a], axis=-1)
     residuals = (clip_v, triangles, world_v, normals, colors, lights,
-                 intensities, row_offset)
+                 intensities, row_offset, tri_data, lights_packed, params,
+                 run_max, sum_w, jnp.stack([r, g, b], axis=-1), a)
     return out, residuals
 
 
 def _bwd(image_width, image_height, sigma_val, gamma_val, blur_radius,
          full_height, interpret, residuals, cotangent):
-    # Backward recomputes through the XLA semantic spec (same gradients as
-    # the default backend); a hand-written Pallas backward is future work.
-    _, vjp_fn = jax.vjp(
-        lambda *args: _xla_reference(args, image_width, image_height,
-                                     sigma_val, gamma_val, blur_radius,
-                                     full_height),
-        *residuals)
-    grads = vjp_fn(cotangent)
-    tri_cot = np.zeros(residuals[1].shape, dtype=jax.dtypes.float0)
+    (clip_v, triangles, world_v, normals, colors, lights, intensities,
+     row_offset, tri_data, lights_packed, params, run_max, sum_w, rgb,
+     alpha) = residuals
+    ddata, dlights_packed = _run_backward(
+        tri_data, lights_packed, params, run_max, sum_w, 1.0 - alpha, rgb,
+        cotangent, image_width, image_height, full_height, lights.shape[0],
+        interpret)
+    # Transpose the (cheap) packing to reach clip vertices and attributes.
+    _, pack_vjp = jax.vjp(
+        lambda cv, wv, nn, cc: _pack_triangle_data(
+            cv, triangles, wv, nn, cc, blur_radius),
+        clip_v, world_v, normals, colors)
+    dclip, dworld, dnormals, dcolors = pack_vjp(ddata)
+    dlight_pos = dlights_packed[:, :3]
+    dlight_int = dlights_packed[:, 3]
+    tri_cot = np.zeros(np.shape(triangles), dtype=jax.dtypes.float0)
     row_cot = np.zeros((), dtype=jax.dtypes.float0)
-    return (grads[0], tri_cot, grads[2], grads[3], grads[4], grads[5],
-            grads[6], row_cot)
+    return (dclip, tri_cot, dworld, dnormals, dcolors, dlight_pos,
+            dlight_int, row_cot)
 
 
-_soft_pallas_core.defvjp(_fwd, _bwd)
+_soft_pallas_core.defvjp(
+    lambda *args: _fwd(*args),
+    _bwd)
 
 
 def rasterize_batch_pallas(clip_space_vertices, triangles,
@@ -376,11 +686,11 @@ def rasterize_batch_pallas(clip_space_vertices, triangles,
                            image_height, sigma_val, gamma_val,
                            blur_radius=0.01, row_offset=None,
                            full_height=None, interpret=None):
-    """Soft-rasterize one mesh with the tiled Pallas forward kernel.
+    """Soft-rasterize one mesh with the tiled Pallas forward+backward.
 
     Contract identical to soft_rasterize.rasterize_batch. sigma/gamma/blur
-    are static floats for this backend (they are compiled into the kernel's
-    VJP closure); use the XLA backend to differentiate w.r.t. them.
+    are static floats for this backend (they parameterize the compiled
+    kernels); use the XLA backend to differentiate w.r.t. them.
     """
     if full_height is None:
         full_height = image_height

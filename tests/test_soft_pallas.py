@@ -1,0 +1,113 @@
+"""Soft Pallas kernels: parity with the XLA semantic spec.
+
+The tiled forward and the hand-derived backward kernel
+(ops/soft_rasterize_pallas.py) must match the XLA scan implementation
+(ops/soft_rasterize.py) and its JAX AD gradients. On CPU CI the kernels run
+in interpreter mode; on TPU compiled.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_mesh_renderer_tpu.ops import soft_rasterize as soft_xla
+from pytorch_mesh_renderer_tpu.ops.soft_rasterize_pallas import (
+    rasterize_batch_pallas)
+
+
+def _scene():
+    rng = np.random.RandomState(0)
+    world = np.array(
+        [[-0.6, -0.5, 0.1], [0.7, -0.4, -0.2], [0.0, 0.8, 0.0],
+         [0.9, 0.6, 0.4]], np.float32)
+    tris = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    normals = np.tile(np.array([[0.0, 0.3, 1.0]], np.float32), [4, 1])
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    colors = rng.uniform(0.2, 1.0, [4, 3]).astype(np.float32)
+    lights = np.array([[0.5, 1.0, 3.0], [-1.0, 0.5, 2.0]], np.float32)
+    intens = np.array([1.3, 0.7], np.float32)
+    w = np.array([1.0, 1.3, 0.9, 1.1], np.float32)
+    clip = np.concatenate(
+        [world * w[:, None],
+         np.full([4, 1], 0.25, np.float32) * w[:, None]], axis=1)
+    clip[:, 3] = w
+    return tuple(jnp.asarray(a) for a in
+                 (clip, world, normals, colors, lights, intens)), tris
+
+
+SIGMA, GAMMA, BLUR = 1e-3, 1e-2, 0.08
+SIZE = 16
+
+
+def _pallas(tris, *args):
+    clip, world, normals, colors, lights, intens = args
+    return rasterize_batch_pallas(clip, tris, world, normals, colors,
+                                  lights, intens, SIZE, SIZE, SIGMA, GAMMA,
+                                  BLUR)
+
+
+def _xla(tris, *args):
+    clip, world, normals, colors, lights, intens = args
+    return soft_xla.rasterize_batch(clip, tris, world, normals, colors,
+                                    lights, intens, SIZE, SIZE, SIGMA,
+                                    GAMMA, blur_radius=BLUR)
+
+
+def test_soft_pallas_forward_matches_xla():
+    args, tris = _scene()
+    got = np.asarray(_pallas(tris, *args))
+    want = np.asarray(_xla(tris, *args))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_soft_pallas_backward_matches_xla_ad():
+    """The hand-derived backward kernel vs jax AD, all six input grads."""
+    args, tris = _scene()
+    cot = jax.random.normal(jax.random.PRNGKey(1), (SIZE, SIZE, 4))
+
+    def lp(*a):
+        return jnp.sum(_pallas(tris, *a) * cot)
+
+    def lx(*a):
+        return jnp.sum(_xla(tris, *a) * cot)
+
+    gp = jax.grad(lp, argnums=tuple(range(6)))(*args)
+    gx = jax.grad(lx, argnums=tuple(range(6)))(*args)
+    for name, a, b in zip(
+            ("clip", "world", "normals", "colors", "lights", "intens"),
+            gp, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < 1e-4, (
+            f"{name} gradient mismatch: {np.abs(a - b).max()} "
+            f"vs magnitude {scale}")
+
+
+def test_soft_pallas_under_vmap():
+    """The batched model path (vmap over the kernel) stays correct."""
+    args, tris = _scene()
+    clip, world, normals, colors, lights, intens = args
+    batch = 3
+    scales = jnp.linspace(0.9, 1.1, batch)
+    clips = clip[None] * scales[:, None, None]
+    clips = clips.at[..., 3].set(clip[None, :, 3])
+    worlds = jnp.tile(world[None], [batch, 1, 1])
+
+    def one(c, wld):
+        return rasterize_batch_pallas(c, tris, wld, normals, colors, lights,
+                                      intens, SIZE, SIZE, SIGMA, GAMMA, BLUR)
+
+    batched = jax.vmap(one)(clips, worlds)
+    for i in range(batch):
+        single = one(clips[i], worlds[i])
+        np.testing.assert_allclose(np.asarray(batched[i]),
+                                   np.asarray(single), atol=1e-5)
+
+    def loss(c):
+        return jnp.mean(jax.vmap(one)(c, worlds)[..., 3])
+
+    g = jax.grad(loss)(clips)
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).max()) > 0.0

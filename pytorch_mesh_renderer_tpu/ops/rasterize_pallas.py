@@ -39,8 +39,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .barycentric import unnormalized_matrix_inverse
-from .rasterize_xla import _backward
+from .barycentric import (DEGENERATE_BARYCENTRIC_CUTOFF,
+                          unnormalized_matrix_inverse)
 
 # Tile dimensions (f32 min tile is 8x128; 64x128 amortizes loop overhead).
 TILE_H = 64
@@ -49,7 +49,7 @@ TILE_W = 128
 TRI_CHUNK = 8
 
 # Packed triangle-data columns (see _pack_triangle_data).
-_COLS = 20
+_COLS = 21
 
 
 def _pack_triangle_data(clip_vertices, triangles):
@@ -58,14 +58,18 @@ def _pack_triangle_data(clip_vertices, triangles):
     Columns: 0-8 sign-corrected adjugate rows (edge coefficients a,b,c per
     edge), 9-11 vertex clip z, 12-14 vertex clip w, 15 liveness (0 when all
     w < 0, cull, cpp:338-341; or padding), 16-19 conservative NDC bbox
-    (min_x, max_x, min_y, max_y) used for chunk culling.
+    (min_x, max_x, min_y, max_y) used for chunk culling, 20 1/|det| for the
+    backward pass (cpp:151-154).
     """
     tris = jnp.asarray(triangles, jnp.int32)
     tv = clip_vertices[tris]  # [T, 3, 4]
     x, y = tv[..., 0], tv[..., 1]
     vz, vw = tv[..., 2], tv[..., 3]
-    m_inv, _ = unnormalized_matrix_inverse(x, y, vw)  # [T, 3, 3]
+    m_inv, det = unnormalized_matrix_inverse(x, y, vw)  # [T, 3, 3]
     live = (~jnp.all(vw < 0.0, axis=-1)).astype(jnp.float32)
+    abs_det = jnp.abs(det)
+    inv_abs_det = jnp.where(abs_det > 0.0, 1.0 / jnp.maximum(abs_det, 1e-30),
+                            0.0)
 
     # Conservative NDC bbox: vertices with w <= eps make the triangle's
     # screen extent unbounded -> full-screen bbox.
@@ -83,7 +87,8 @@ def _pack_triangle_data(clip_vertices, triangles):
     data = jnp.concatenate([
         m_inv.reshape(-1, 9), vz, vw, live[:, None],
         jnp.stack([min_x, max_x, min_y, max_y], axis=-1),
-    ], axis=-1)  # [T, 20]
+        inv_abs_det[:, None],
+    ], axis=-1)  # [T, 21]
 
     t = data.shape[0]
     pad = (-t) % TRI_CHUNK
@@ -191,6 +196,12 @@ def _kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref, z_ref, *,
 def _forward_pallas(clip_vertices, triangles, row_offset, image_width,
                     image_height, full_height, interpret):
     tri_data = _pack_triangle_data(clip_vertices, triangles)
+    return _forward_from_packed(tri_data, row_offset, image_width,
+                                image_height, full_height, interpret)
+
+
+def _forward_from_packed(tri_data, row_offset, image_width, image_height,
+                         full_height, interpret):
     n_tri_padded = tri_data.shape[0]
 
     grid = (pl.cdiv(image_height, TILE_H), pl.cdiv(image_width, TILE_W))
@@ -225,6 +236,128 @@ def _forward_pallas(clip_vertices, triangles, row_offset, image_width,
     return ids, bc, jnp.where(z > 1.0, 1.0, z)
 
 
+def _bwd_kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
+                g0_ref, g1_ref, g2_ref, dcorner_ref, *, image_width,
+                image_height, full_height, n_tri_padded):
+    """Analytic backward (cpp:131-273 chain) as a per-tile reduction.
+
+    For each tile, stream triangle chunks; pixels whose winning id matches a
+    chunk triangle contribute b_k * (s_c * <g, b> - sum_i g_i m_inv[i, c])
+    / |det| to that triangle's corner-k coordinate-c gradient (the closed
+    form of the reference's 27-term accumulation, see rasterize_xla). The
+    per-(triangle, corner, coord) sums land in a [T_pad, 9] table; the
+    host-side scatter into [V, 4] is then T-sized instead of
+    (H * W * 3)-sized.
+    """
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+
+    @pl.when((ti == 0) & (tj == 0))
+    def _init():
+        dcorner_ref[:] = jnp.zeros_like(dcorner_ref)
+
+    # Boundary tiles are padded with uninitialized memory; mask it out or
+    # garbage ids/cotangents would contribute to the sums.
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    pix_ok = ((row_idx + ti * TILE_H < image_height) &
+              (col_idx + tj * TILE_W < image_width))
+
+    ids = jnp.where(pix_ok, id_ref[:], -1)
+    b0 = jnp.where(pix_ok, b0_ref[:], 0.0)
+    b1 = jnp.where(pix_ok, b1_ref[:], 0.0)
+    b2 = jnp.where(pix_ok, b2_ref[:], 0.0)
+    g0 = jnp.where(pix_ok, g0_ref[:], 0.0)
+    g1 = jnp.where(pix_ok, g1_ref[:], 0.0)
+    g2 = jnp.where(pix_ok, g2_ref[:], 0.0)
+
+    # Degenerate-pixel skip (cpp:162-164): id 0 with barycentric sum below
+    # the cutoff is background.
+    active = ~((ids == 0) &
+               (b0 + b1 + b2 < DEGENERATE_BARYCENTRIC_CUTOFF))
+    gb = g0 * b0 + g1 * b1 + g2 * b2
+
+    # Chunk culling by winner-id range: only triangles that actually won a
+    # pixel in this tile can receive gradient, and those ids span few chunks.
+    masked_ids = jnp.where(active, ids, jnp.iinfo(jnp.int32).max)
+    tile_id_min = jnp.min(jnp.min(masked_ids, axis=1), axis=0)
+    tile_id_max = jnp.max(jnp.max(jnp.where(active, ids, -1), axis=1),
+                          axis=0)
+
+    n_chunks = n_tri_padded // TRI_CHUNK
+
+    def chunk_body(c, _):
+        hit = ((c * TRI_CHUNK <= tile_id_max) &
+               ((c + 1) * TRI_CHUNK > tile_id_min))
+
+        def process(_):
+            data = tri_ref[pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]
+
+            def col(k):
+                return data[:, k].reshape(TRI_CHUNK, 1, 1)
+
+            tid = (c * TRI_CHUNK + jax.lax.broadcasted_iota(
+                jnp.int32, (TRI_CHUNK, 1, 1), 0))
+            mask = ((ids[None] == tid) & active[None]).astype(jnp.float32)
+            inv_det = col(20)
+            for cc in range(3):  # coordinate in {x, y, w}
+                s_c = col(cc) + col(3 + cc) + col(6 + cc)
+                r_c = (g0[None] * col(cc) + g1[None] * col(3 + cc) +
+                       g2[None] * col(6 + cc))
+                t_c = (s_c * gb[None] - r_c) * inv_det * mask
+                for k, bk in enumerate((b0, b1, b2)):  # corner
+                    val = bk[None] * t_c
+                    red = jnp.sum(jnp.sum(val, axis=2), axis=1,
+                                  keepdims=True)  # [C, 1]
+                    sl = (pl.ds(c * TRI_CHUNK, TRI_CHUNK),
+                          pl.ds(3 * k + cc, 1))
+                    dcorner_ref[sl] = dcorner_ref[sl] + red
+            return 0
+
+        jax.lax.cond(jnp.any(hit), process, lambda _: 0, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+def _backward_pallas(tri_data, triangles, vertex_count, ids, bc, df_dbc,
+                     row_offset, image_width, image_height, full_height,
+                     interpret):
+    n_tri_padded = tri_data.shape[0]
+    grid = (pl.cdiv(image_height, TILE_H), pl.cdiv(image_width, TILE_W))
+    kernel = functools.partial(
+        _bwd_kernel, image_width=image_width, image_height=image_height,
+        full_height=full_height, n_tri_padded=n_tri_padded)
+    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((n_tri_padded, 9), lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    row_off = jnp.asarray(row_offset, jnp.float32).reshape(1)
+    dcorner = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + [tile_spec] * 7,
+        out_specs=[acc_spec],
+        out_shape=[jax.ShapeDtypeStruct((n_tri_padded, 9), jnp.float32)],
+        interpret=interpret,
+    )(row_off, tri_data, ids, bc[..., 0], bc[..., 1], bc[..., 2],
+      df_dbc[..., 0], df_dbc[..., 1], df_dbc[..., 2])[0]
+
+    tris = jnp.asarray(triangles, jnp.int32)
+    n_tri = tris.shape[0]
+    df_dvertices = jnp.zeros([vertex_count, 4], jnp.float32)
+    for k in range(3):  # corner scatter: T-sized, z column stays zero
+        grads_xyw = dcorner[:n_tri, 3 * k:3 * k + 3]
+        updates = jnp.concatenate(
+            [grads_xyw[:, 0:2], jnp.zeros([n_tri, 1], jnp.float32),
+             grads_xyw[:, 2:3]], axis=1)
+        df_dvertices = df_dvertices.at[tris[:, k]].add(updates)
+    return df_dvertices
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _pallas_core(clip_vertices, triangles, row_offset, image_width,
                  image_height, full_height, interpret):
@@ -234,18 +367,22 @@ def _pallas_core(clip_vertices, triangles, row_offset, image_width,
 
 def _fwd(clip_vertices, triangles, row_offset, image_width, image_height,
          full_height, interpret):
-    out = _forward_pallas(clip_vertices, triangles, row_offset, image_width,
-                          image_height, full_height, interpret)
+    tri_data = _pack_triangle_data(clip_vertices, triangles)
+    out = _forward_from_packed(tri_data, row_offset, image_width,
+                               image_height, full_height, interpret)
     ids, bc, _ = out
-    return out, (clip_vertices, triangles, ids, bc)
+    return out, (jax.lax.stop_gradient(tri_data), triangles,
+                 clip_vertices.shape[0], ids, bc, row_offset)
 
 
 def _bwd(image_width, image_height, full_height, interpret, residuals,
          cotangents):
-    clip_vertices, triangles, ids, bc = residuals
+    tri_data, triangles, vertex_count, ids, bc, row_offset = residuals
     _, df_dbc, _ = cotangents
-    df_dvertices = _backward(clip_vertices, triangles, ids, bc, df_dbc)
-    tri_cot = np.zeros(triangles.shape, dtype=jax.dtypes.float0)
+    df_dvertices = _backward_pallas(
+        tri_data, triangles, vertex_count, ids, bc, df_dbc, row_offset,
+        image_width, image_height, full_height, interpret)
+    tri_cot = np.zeros(np.shape(triangles), dtype=jax.dtypes.float0)
     row_cot = np.zeros((), dtype=jax.dtypes.float0)
     return df_dvertices, tri_cot, row_cot
 

@@ -75,8 +75,13 @@ def look_at(eye: jnp.ndarray, center: jnp.ndarray,
     world_up = jnp.asarray(world_up, jnp.float32)
     batch_size = center.shape[0]
 
+    # Norms are written as explicit sqrt(sum(x*x)) rather than
+    # jnp.linalg.norm: on TPU, XLA mis-lowers the cross+norm fusion under
+    # jit (observed: wrong/NaN values for some batch elements on v5e),
+    # while the explicit form compiles correctly.
     forward = center - eye
-    forward_norm = jnp.linalg.norm(forward, axis=1, keepdims=True)
+    forward_norm = jnp.sqrt(
+        jnp.sum(forward * forward, axis=1, keepdims=True))
     if _is_concrete(forward_norm):
         np.testing.assert_array_less(
             _DEGENERACY_CUTOFF, np.asarray(forward_norm),
@@ -85,7 +90,8 @@ def look_at(eye: jnp.ndarray, center: jnp.ndarray,
     forward = forward / forward_norm
 
     to_side = jnp.cross(forward, world_up)
-    to_side_norm = jnp.linalg.norm(to_side, axis=1, keepdims=True)
+    to_side_norm = jnp.sqrt(
+        jnp.sum(to_side * to_side, axis=1, keepdims=True))
     if _is_concrete(to_side_norm):
         np.testing.assert_array_less(
             _DEGENERACY_CUTOFF, np.asarray(to_side_norm),

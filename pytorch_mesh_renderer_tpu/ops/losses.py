@@ -28,7 +28,9 @@ def edge_loss(vertices, edges):
     """
     v0 = vertices[edges[:, 0]]
     v1 = vertices[edges[:, 1]]
-    return jnp.mean(jnp.linalg.norm(v0 - v1, axis=1))
+    d = v0 - v1
+    # Explicit norm (see ops/camera.py on the TPU linalg.norm mis-lowering).
+    return jnp.mean(jnp.sqrt(jnp.sum(d * d, axis=1)))
 
 
 def laplacian_smoothing_loss(vertices, edges):
@@ -56,7 +58,7 @@ def laplacian_smoothing_loss(vertices, edges):
     inv_degree = jnp.where(degree > 0.0, 1.0 / jnp.maximum(degree, 1.0), 0.0)
 
     lap = neighbor_sum * inv_degree[:, None] - vertices
-    return jnp.sum(jnp.linalg.norm(lap, axis=1)) / n_vertices
+    return jnp.sum(jnp.sqrt(jnp.sum(lap * lap, axis=1))) / n_vertices
 
 
 def image_l1_loss(rendered, target):

@@ -252,9 +252,10 @@ def _bwd_kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
     ti = pl.program_id(0)
     tj = pl.program_id(1)
 
-    @pl.when((ti == 0) & (tj == 0))
-    def _init():
-        dcorner_ref[:] = jnp.zeros_like(dcorner_ref)
+    # Each grid step owns its slice of the per-tile partial table (no block
+    # revisiting across steps — that pattern miscompiles under vmap); zero
+    # it, accumulate chunk contributions, and let the caller sum over tiles.
+    dcorner_ref[:] = jnp.zeros_like(dcorner_ref)
 
     # Boundary tiles are padded with uninitialized memory; mask it out or
     # garbage ids/cotangents would contribute to the sums.
@@ -309,7 +310,7 @@ def _bwd_kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
                     val = bk[None] * t_c
                     red = jnp.sum(jnp.sum(val, axis=2), axis=1,
                                   keepdims=True)  # [C, 1]
-                    sl = (pl.ds(c * TRI_CHUNK, TRI_CHUNK),
+                    sl = (0, pl.ds(c * TRI_CHUNK, TRI_CHUNK),
                           pl.ds(3 * k + cc, 1))
                     dcorner_ref[sl] = dcorner_ref[sl] + red
             return 0
@@ -330,8 +331,14 @@ def _backward_pallas(tri_data, triangles, vertex_count, ids, bc, df_dbc,
         full_height=full_height, n_tri_padded=n_tri_padded)
     tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
-    acc_spec = pl.BlockSpec((n_tri_padded, 9), lambda i, j: (0, 0),
-                            memory_space=pltpu.VMEM)
+    # One partial gradient table per grid step (flattened tile index); the
+    # cross-tile sum happens outside. Per-step-owned blocks avoid the
+    # revisited-accumulator pattern, which is not vmap-safe.
+    n_tiles = grid[0] * grid[1]
+    acc_spec = pl.BlockSpec(
+        (1, n_tri_padded, 9),
+        lambda i, j, _gj=grid[1]: (i * _gj + j, 0, 0),
+        memory_space=pltpu.VMEM)
     row_off = jnp.asarray(row_offset, jnp.float32).reshape(1)
     dcorner = pl.pallas_call(
         kernel,
@@ -341,10 +348,12 @@ def _backward_pallas(tri_data, triangles, vertex_count, ids, bc, df_dbc,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ] + [tile_spec] * 7,
         out_specs=[acc_spec],
-        out_shape=[jax.ShapeDtypeStruct((n_tri_padded, 9), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, n_tri_padded, 9),
+                                        jnp.float32)],
         interpret=interpret,
     )(row_off, tri_data, ids, bc[..., 0], bc[..., 1], bc[..., 2],
       df_dbc[..., 0], df_dbc[..., 1], df_dbc[..., 2])[0]
+    dcorner = jnp.sum(dcorner, axis=0)
 
     tris = jnp.asarray(triangles, jnp.int32)
     n_tri = tris.shape[0]

@@ -328,10 +328,11 @@ def _bwd_kernel(params_ref, lights_ref, tri_ref, max_ref, sumw_ref, sil_ref,
     sq_blur = params_ref[2]
     row_off = params_ref[3]
 
-    @pl.when((ti == 0) & (tj == 0))
-    def _init():
-        ddata_ref[:] = jnp.zeros_like(ddata_ref)
-        dlights_ref[:] = jnp.zeros_like(dlights_ref)
+    # Each grid step owns its slice of the per-tile partial tables (no
+    # block revisiting across steps — that pattern is not vmap-safe); the
+    # caller sums over tiles.
+    ddata_ref[:] = jnp.zeros_like(ddata_ref)
+    dlights_ref[:] = jnp.zeros_like(dlights_ref)
 
     px, py = _tile_coords(ti, tj, row_off, image_width, full_height)
     tmin_x, tmax_x, tmin_y, tmax_y = _tile_bounds(
@@ -366,13 +367,13 @@ def _bwd_kernel(params_ref, lights_ref, tri_ref, max_ref, sumw_ref, sil_ref,
     def acc(c, colidx, val):
         """Accumulate sum-over-pixels of val [C, TH, TW] into column."""
         red = jnp.sum(jnp.sum(val, axis=2), axis=1, keepdims=True)  # [C, 1]
-        sl = (pl.ds(c * TRI_CHUNK, TRI_CHUNK), pl.ds(colidx, 1))
+        sl = (0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), pl.ds(colidx, 1))
         ddata_ref[sl] = ddata_ref[sl] + red
 
     def acc_light(l, comp, val):
         red = jnp.sum(jnp.sum(jnp.sum(val, axis=2), axis=1, keepdims=True),
                       axis=0, keepdims=True)  # [1, 1]
-        sl = (pl.ds(l, 1), pl.ds(comp, 1))
+        sl = (0, pl.ds(l, 1), pl.ds(comp, 1))
         dlights_ref[sl] = dlights_ref[sl] + red
 
     def chunk_body(c, _):
@@ -586,11 +587,16 @@ def _run_backward(tri_data, lights, params, run_max, sum_w, sil, rgb,
         n_lights=n_lights)
     tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
+    # Per-tile partial tables (summed below) — see _bwd_kernel's init note.
+    n_tiles = grid[0] * grid[1]
     acc_spec_data = pl.BlockSpec(
-        (n_tri_padded, _COLS), lambda i, j: (0, 0),
+        (1, n_tri_padded, _COLS),
+        lambda i, j, _gj=grid[1]: (i * _gj + j, 0, 0),
         memory_space=pltpu.VMEM)
     acc_spec_lights = pl.BlockSpec(
-        (n_lights, 4), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        (1, n_lights, 4),
+        lambda i, j, _gj=grid[1]: (i * _gj + j, 0, 0),
+        memory_space=pltpu.VMEM)
     ddata, dlights = pl.pallas_call(
         kernel,
         grid=grid,
@@ -601,14 +607,15 @@ def _run_backward(tri_data, lights, params, run_max, sum_w, sil, rgb,
         ] + [tile_spec] * 10,
         out_specs=[acc_spec_data, acc_spec_lights],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tri_padded, _COLS), jnp.float32),
-            jax.ShapeDtypeStruct((n_lights, 4), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, n_tri_padded, _COLS),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, n_lights, 4), jnp.float32),
         ],
         interpret=interpret,
     )(params, lights, tri_data, run_max, sum_w, sil, rgb[..., 0],
       rgb[..., 1], rgb[..., 2], cotangent[..., 0], cotangent[..., 1],
       cotangent[..., 2], cotangent[..., 3])
-    return ddata, dlights
+    return jnp.sum(ddata, axis=0), jnp.sum(dlights, axis=0)
 
 
 def _make_params(sigma_val, gamma_val, blur_radius, row_offset):

@@ -106,3 +106,27 @@ def test_camera_stack_matches_reference():
     theirs = ref_cam.transform_homogeneous(
         torch.tensor(mats), torch.tensor(verts)).numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_look_at_jit_matches_eager_batched():
+    """Regression: jitted camera construction must match eager per batch
+    element (an XLA:TPU fusion of cross+linalg.norm used to corrupt some
+    batch elements; ops/camera.py now uses explicit norms)."""
+    import jax
+
+    batch = 4
+    eye = jnp.tile(jnp.array([[0.0, 0.0, 2.0]]), [batch, 1])
+    center = jnp.zeros([batch, 3])
+    up = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), [batch, 1])
+
+    def f():
+        return camera.clip_space_transforms(
+            eye, center, up, jnp.full([batch], 40.0),
+            jnp.full([batch], 0.01), jnp.full([batch], 10.0), 32, 32)
+
+    eager = np.asarray(f())
+    jitted = np.asarray(jax.jit(f)())
+    np.testing.assert_allclose(jitted, eager, atol=1e-6)
+    # Identical batch elements must produce identical matrices.
+    for i in range(1, batch):
+        np.testing.assert_array_equal(jitted[i], jitted[0])

@@ -1,0 +1,134 @@
+"""Losses, checkpointing, native IO, debug and profiling utilities."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_mesh_renderer_tpu.models import shapes
+from pytorch_mesh_renderer_tpu.ops import losses, mesh as mesh_ops
+from pytorch_mesh_renderer_tpu.utils import checkpoint, debug, profiling
+
+from conftest import reference_available
+
+
+def _cube_mesh():
+    verts, tris, _ = shapes.cube(2.0)
+    edges = mesh_ops.compute_edges_list(tris)
+    return verts, tris, edges
+
+
+def test_edge_loss_value():
+    verts, _, edges = _cube_mesh()
+    # Cube of side 2: 12 face edges of length 2 plus 6 face diagonals of
+    # length 2*sqrt(2).
+    lengths = np.linalg.norm(
+        np.asarray(verts)[np.asarray(edges[:, 0])] -
+        np.asarray(verts)[np.asarray(edges[:, 1])], axis=1)
+    expected = lengths.mean()
+    np.testing.assert_allclose(
+        float(losses.edge_loss(verts, edges)), expected, rtol=1e-6)
+
+
+def test_laplacian_loss_zero_for_centered_symmetric():
+    # For the symmetric cube each vertex's neighbor-mean lies on the
+    # diagonal toward the center: the loss is positive, and it vanishes
+    # after shrinking toward the neighbor mean by a full step.
+    verts, _, edges = _cube_mesh()
+    loss = float(losses.laplacian_smoothing_loss(verts, edges))
+    assert loss > 0.0
+    # Uniform scaling scales the loss linearly.
+    loss2 = float(losses.laplacian_smoothing_loss(verts * 2.0, edges))
+    np.testing.assert_allclose(loss2, 2.0 * loss, rtol=1e-5)
+
+
+@pytest.mark.skipif(not reference_available(),
+                    reason="pytorch reference not available")
+def test_losses_match_reference_example7b():
+    """Oracle check against the reference's sparse-matrix formulation."""
+    import importlib.util
+    import torch
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_example7b",
+        os.path.join(os.environ.get("MESH_RENDERER_REFERENCE",
+                                    "/root/reference"),
+                     "src", "examples", "example7b.py"))
+    # example7b imports the package; execute only the loss helpers instead.
+    src = open(spec.origin).read()
+    start = src.index("def compute_laplacian")
+    end = src.index('if __name__ ==')
+    ns = {"torch": torch}
+    exec(compile(src[start:end], spec.origin, "exec"), ns)
+
+    verts, tris, edges = _cube_mesh()
+    tverts = torch.tensor(np.asarray(verts))
+    ttris = torch.tensor(np.asarray(tris))
+    tedges = ns["compute_edges_list"](tverts, ttris)
+    lap = ns["compute_laplacian"](tverts, tedges)
+    want_lap = float(ns["mesh_laplacian_smoothing_loss"](tverts, lap))
+    want_edge = float(ns["mesh_edge_loss"](tverts, tedges))
+
+    np.testing.assert_allclose(
+        float(losses.laplacian_smoothing_loss(verts, edges)), want_lap,
+        rtol=1e-5)
+    np.testing.assert_allclose(
+        float(losses.edge_loss(verts, edges)), want_edge, rtol=1e-6)
+
+
+def test_silhouette_losses():
+    a = jnp.ones([4, 4]) * 0.5
+    b = jnp.ones([4, 4])
+    assert float(losses.silhouette_mse_loss(a, b)) == pytest.approx(0.25)
+    assert float(losses.silhouette_iou(b, b)) == pytest.approx(1.0)
+    assert float(losses.silhouette_iou(jnp.zeros([4, 4]), b)) == 0.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {"params": {"offset": jnp.arange(6.0).reshape(2, 3)},
+             "step": 7}
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(path, state)
+    assert checkpoint.exists(path)
+    restored = checkpoint.restore(
+        path, {"params": {"offset": jnp.zeros([2, 3])}, "step": 0})
+    np.testing.assert_array_equal(np.asarray(restored["params"]["offset"]),
+                                  np.asarray(state["params"]["offset"]))
+    assert int(restored["step"]) == 7
+
+
+def test_native_obj_roundtrip(tmp_path):
+    from pytorch_mesh_renderer_tpu.utils import native, obj_io
+
+    verts, tris, normals = shapes.sphere(1.0, resolution=5)
+    path = str(tmp_path / "m.obj")
+    obj_io.save_obj(path, np.asarray(verts), np.asarray(tris),
+                    np.asarray(normals))
+    parsed = native.parse_obj(path)
+    if parsed is None:
+        pytest.skip("native library unavailable")
+    v, n, f, fn = parsed
+    np.testing.assert_allclose(v, np.asarray(verts), atol=1e-5)
+    np.testing.assert_array_equal(f, np.asarray(tris))
+    # Full loader path (native-backed) agrees with the python fallback.
+    lv, lf, ln = obj_io.load_obj(path, normalize=False)
+    np.testing.assert_allclose(np.asarray(ln), np.asarray(normals),
+                               atol=1e-5)
+
+
+def test_debug_check_isnan_isinf():
+    debug.check_isnan_isinf(jnp.ones([3]))
+    with pytest.raises(ValueError):
+        debug.check_isnan_isinf(jnp.array([1.0, jnp.nan]))
+    with pytest.raises(ValueError):
+        debug.check_isnan_isinf(jnp.array([1.0, jnp.inf]))
+
+
+def test_measure_throughput():
+    f = jax.jit(lambda x: x * 2.0)
+    rate, dt = profiling.measure_throughput(f, jnp.ones([8]), iters=3,
+                                            warmup=1, items_per_call=4)
+    assert rate > 0 and dt > 0

@@ -42,11 +42,16 @@ from jax.experimental.pallas import tpu as pltpu
 from .barycentric import (DEGENERATE_BARYCENTRIC_CUTOFF,
                           unnormalized_matrix_inverse)
 
-# Tile dimensions (f32 min tile is 8x128; 64x128 amortizes loop overhead).
-TILE_H = 64
+# Tile dimensions (f32 min tile is 8x128; 32x128 balances loop overhead
+# against VMEM pressure — the backward's chunk temporaries must fit scoped
+# VMEM even at 10k+ triangles).
+TILE_H = 32
 TILE_W = 128
 # Triangles processed per inner step ([chunk, TILE_H, TILE_W] temporaries).
 TRI_CHUNK = 8
+# The backward kernel keeps more temporaries live per chunk; a smaller chunk
+# keeps its scoped-VMEM footprint under the 16MB/core limit.
+BWD_TRI_CHUNK = 4
 
 # Packed triangle-data columns (see _pack_triangle_data).
 _COLS = 21
@@ -99,8 +104,10 @@ def _pack_triangle_data(clip_vertices, triangles):
 
 def _kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref, z_ref, *,
             image_width, image_height, full_height, n_tri_padded):
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
+    # Grid: (batch, tile_row, tile_col). Batch is a kernel-level grid axis —
+    # the whole mesh batch renders in ONE pallas_call (no vmap).
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
 
     # NDC coordinates of this tile's pixel centers (row 0 = NDC bottom,
     # cpp:376-377). row_off shifts rows when the image is row-sharded.
@@ -124,7 +131,7 @@ def _kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref, z_ref, *,
 
     def chunk_body(c, carry):
         best_z, best_id, best_b0, best_b1, best_b2 = carry
-        data = tri_ref[pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]  # [C, 20]
+        data = tri_ref[0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]  # [C, 21]
 
         # Chunk-level bbox cull: skip when no triangle overlaps the tile.
         hit = ((data[:, 16] <= tile_max_x) & (data[:, 17] >= tile_min_x) &
@@ -186,38 +193,41 @@ def _kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref, z_ref, *,
     best_z, best_id, best_b0, best_b1, best_b2 = jax.lax.fori_loop(
         0, n_chunks, chunk_body, init)
 
-    id_ref[:] = jnp.maximum(best_id, 0)
-    b0_ref[:] = best_b0
-    b1_ref[:] = best_b1
-    b2_ref[:] = best_b2
-    z_ref[:] = best_z
+    id_ref[0] = jnp.maximum(best_id, 0)
+    b0_ref[0] = best_b0
+    b1_ref[0] = best_b1
+    b2_ref[0] = best_b2
+    z_ref[0] = best_z
 
 
-def _forward_pallas(clip_vertices, triangles, row_offset, image_width,
-                    image_height, full_height, interpret):
-    tri_data = _pack_triangle_data(clip_vertices, triangles)
-    return _forward_from_packed(tri_data, row_offset, image_width,
-                                image_height, full_height, interpret)
+_pack_batched = jax.vmap(_pack_triangle_data, in_axes=(0, None))
+
+# Narrow tables ([T, 21] input, [T, 9] gradient blocks) lane-pad to 128 in
+# VMEM; at 10k+ triangles that exceeds the conservative default scoped
+# limit, but v5e has far more physical VMEM.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _forward_from_packed(tri_data, row_offset, image_width, image_height,
                          full_height, interpret):
-    n_tri_padded = tri_data.shape[0]
-
-    grid = (pl.cdiv(image_height, TILE_H), pl.cdiv(image_width, TILE_W))
+    """Batched forward: tri_data [B, T_pad, 21] -> (ids, bc, z) per image."""
+    batch, n_tri_padded, _ = tri_data.shape
+    grid = (batch, pl.cdiv(image_height, TILE_H),
+            pl.cdiv(image_width, TILE_W))
     kernel = functools.partial(
         _kernel, image_width=image_width, image_height=image_height,
         full_height=full_height, n_tri_padded=n_tri_padded)
 
     out_shape = [
-        jax.ShapeDtypeStruct((image_height, image_width), jnp.int32),
-        jax.ShapeDtypeStruct((image_height, image_width), jnp.float32),
-        jax.ShapeDtypeStruct((image_height, image_width), jnp.float32),
-        jax.ShapeDtypeStruct((image_height, image_width), jnp.float32),
-        jax.ShapeDtypeStruct((image_height, image_width), jnp.float32),
-    ]
-    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+        jax.ShapeDtypeStruct((batch, image_height, image_width), jnp.int32),
+    ] + [jax.ShapeDtypeStruct((batch, image_height, image_width),
+                              jnp.float32)] * 4
+    tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
+                             lambda b, i, j: (b, i, j),
                              memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec((1, n_tri_padded, _COLS),
+                            lambda b, i, j: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
     row_off = jnp.asarray(row_offset, jnp.float32).reshape(1)
 
     ids, b0, b1, b2, z = pl.pallas_call(
@@ -225,10 +235,11 @@ def _forward_from_packed(tri_data, row_offset, image_width, image_height,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # row offset scalar
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # full triangle table
+            tri_spec,
         ],
         out_specs=[tile_spec] * 5,
         out_shape=out_shape,
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(row_off, tri_data)
     bc = jnp.stack([b0, b1, b2], axis=-1)
@@ -245,17 +256,17 @@ def _bwd_kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
     chunk triangle contribute b_k * (s_c * <g, b> - sum_i g_i m_inv[i, c])
     / |det| to that triangle's corner-k coordinate-c gradient (the closed
     form of the reference's 27-term accumulation, see rasterize_xla). The
-    per-(triangle, corner, coord) sums land in a [T_pad, 9] table; the
-    host-side scatter into [V, 4] is then T-sized instead of
-    (H * W * 3)-sized.
+    per-(triangle, corner, coord) sums accumulate into a per-batch-element
+    [T_pad, 9] table (revisited across this batch element's consecutive
+    tile steps); the host-side scatter into [V, 4] is then T-sized instead
+    of (H * W * 3)-sized.
     """
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
 
-    # Each grid step owns its slice of the per-tile partial table (no block
-    # revisiting across steps — that pattern miscompiles under vmap); zero
-    # it, accumulate chunk contributions, and let the caller sum over tiles.
-    dcorner_ref[:] = jnp.zeros_like(dcorner_ref)
+    @pl.when((ti == 0) & (tj == 0))
+    def _init():
+        dcorner_ref[:] = jnp.zeros_like(dcorner_ref)
 
     # Boundary tiles are padded with uninitialized memory; mask it out or
     # garbage ids/cotangents would contribute to the sums.
@@ -264,13 +275,13 @@ def _bwd_kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
     pix_ok = ((row_idx + ti * TILE_H < image_height) &
               (col_idx + tj * TILE_W < image_width))
 
-    ids = jnp.where(pix_ok, id_ref[:], -1)
-    b0 = jnp.where(pix_ok, b0_ref[:], 0.0)
-    b1 = jnp.where(pix_ok, b1_ref[:], 0.0)
-    b2 = jnp.where(pix_ok, b2_ref[:], 0.0)
-    g0 = jnp.where(pix_ok, g0_ref[:], 0.0)
-    g1 = jnp.where(pix_ok, g1_ref[:], 0.0)
-    g2 = jnp.where(pix_ok, g2_ref[:], 0.0)
+    ids = jnp.where(pix_ok, id_ref[0], -1)
+    b0 = jnp.where(pix_ok, b0_ref[0], 0.0)
+    b1 = jnp.where(pix_ok, b1_ref[0], 0.0)
+    b2 = jnp.where(pix_ok, b2_ref[0], 0.0)
+    g0 = jnp.where(pix_ok, g0_ref[0], 0.0)
+    g1 = jnp.where(pix_ok, g1_ref[0], 0.0)
+    g2 = jnp.where(pix_ok, g2_ref[0], 0.0)
 
     # Degenerate-pixel skip (cpp:162-164): id 0 with barycentric sum below
     # the cutoff is background.
@@ -285,20 +296,20 @@ def _bwd_kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
     tile_id_max = jnp.max(jnp.max(jnp.where(active, ids, -1), axis=1),
                           axis=0)
 
-    n_chunks = n_tri_padded // TRI_CHUNK
+    n_chunks = n_tri_padded // BWD_TRI_CHUNK
 
     def chunk_body(c, _):
-        hit = ((c * TRI_CHUNK <= tile_id_max) &
-               ((c + 1) * TRI_CHUNK > tile_id_min))
+        hit = ((c * BWD_TRI_CHUNK <= tile_id_max) &
+               ((c + 1) * BWD_TRI_CHUNK > tile_id_min))
 
         def process(_):
-            data = tri_ref[pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]
+            data = tri_ref[0, pl.ds(c * BWD_TRI_CHUNK, BWD_TRI_CHUNK), :]
 
             def col(k):
-                return data[:, k].reshape(TRI_CHUNK, 1, 1)
+                return data[:, k].reshape(BWD_TRI_CHUNK, 1, 1)
 
-            tid = (c * TRI_CHUNK + jax.lax.broadcasted_iota(
-                jnp.int32, (TRI_CHUNK, 1, 1), 0))
+            tid = (c * BWD_TRI_CHUNK + jax.lax.broadcasted_iota(
+                jnp.int32, (BWD_TRI_CHUNK, 1, 1), 0))
             mask = ((ids[None] == tid) & active[None]).astype(jnp.float32)
             inv_det = col(20)
             for cc in range(3):  # coordinate in {x, y, w}
@@ -310,7 +321,7 @@ def _bwd_kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
                     val = bk[None] * t_c
                     red = jnp.sum(jnp.sum(val, axis=2), axis=1,
                                   keepdims=True)  # [C, 1]
-                    sl = (0, pl.ds(c * TRI_CHUNK, TRI_CHUNK),
+                    sl = (0, pl.ds(c * BWD_TRI_CHUNK, BWD_TRI_CHUNK),
                           pl.ds(3 * k + cc, 1))
                     dcorner_ref[sl] = dcorner_ref[sl] + red
             return 0
@@ -324,64 +335,68 @@ def _bwd_kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
 def _backward_pallas(tri_data, triangles, vertex_count, ids, bc, df_dbc,
                      row_offset, image_width, image_height, full_height,
                      interpret):
-    n_tri_padded = tri_data.shape[0]
-    grid = (pl.cdiv(image_height, TILE_H), pl.cdiv(image_width, TILE_W))
+    """Batched backward: [B, ...] residuals -> df/d(clip vertices) [B, V, 4].
+    """
+    batch, n_tri_padded, _ = tri_data.shape
+    grid = (batch, pl.cdiv(image_height, TILE_H),
+            pl.cdiv(image_width, TILE_W))
     kernel = functools.partial(
         _bwd_kernel, image_width=image_width, image_height=image_height,
         full_height=full_height, n_tri_padded=n_tri_padded)
-    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+    tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
+                             lambda b, i, j: (b, i, j),
                              memory_space=pltpu.VMEM)
-    # One partial gradient table per grid step (flattened tile index); the
-    # cross-tile sum happens outside. Per-step-owned blocks avoid the
-    # revisited-accumulator pattern, which is not vmap-safe.
-    n_tiles = grid[0] * grid[1]
-    acc_spec = pl.BlockSpec(
-        (1, n_tri_padded, 9),
-        lambda i, j, _gj=grid[1]: (i * _gj + j, 0, 0),
-        memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec((1, n_tri_padded, _COLS),
+                            lambda b, i, j: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((1, n_tri_padded, 9),
+                            lambda b, i, j: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
     row_off = jnp.asarray(row_offset, jnp.float32).reshape(1)
     dcorner = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            tri_spec,
         ] + [tile_spec] * 7,
         out_specs=[acc_spec],
-        out_shape=[jax.ShapeDtypeStruct((n_tiles, n_tri_padded, 9),
+        out_shape=[jax.ShapeDtypeStruct((batch, n_tri_padded, 9),
                                         jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(row_off, tri_data, ids, bc[..., 0], bc[..., 1], bc[..., 2],
       df_dbc[..., 0], df_dbc[..., 1], df_dbc[..., 2])[0]
-    dcorner = jnp.sum(dcorner, axis=0)
 
     tris = jnp.asarray(triangles, jnp.int32)
     n_tri = tris.shape[0]
-    df_dvertices = jnp.zeros([vertex_count, 4], jnp.float32)
+    df_dvertices = jnp.zeros([batch, vertex_count, 4], jnp.float32)
     for k in range(3):  # corner scatter: T-sized, z column stays zero
-        grads_xyw = dcorner[:n_tri, 3 * k:3 * k + 3]
+        grads_xyw = dcorner[:, :n_tri, 3 * k:3 * k + 3]
         updates = jnp.concatenate(
-            [grads_xyw[:, 0:2], jnp.zeros([n_tri, 1], jnp.float32),
-             grads_xyw[:, 2:3]], axis=1)
-        df_dvertices = df_dvertices.at[tris[:, k]].add(updates)
+            [grads_xyw[..., 0:2],
+             jnp.zeros([batch, n_tri, 1], jnp.float32),
+             grads_xyw[..., 2:3]], axis=-1)
+        df_dvertices = df_dvertices.at[:, tris[:, k]].add(updates)
     return df_dvertices
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _pallas_core(clip_vertices, triangles, row_offset, image_width,
                  image_height, full_height, interpret):
-    return _forward_pallas(clip_vertices, triangles, row_offset, image_width,
-                           image_height, full_height, interpret)
+    tri_data = _pack_batched(clip_vertices, triangles)
+    return _forward_from_packed(tri_data, row_offset, image_width,
+                                image_height, full_height, interpret)
 
 
 def _fwd(clip_vertices, triangles, row_offset, image_width, image_height,
          full_height, interpret):
-    tri_data = _pack_triangle_data(clip_vertices, triangles)
+    tri_data = _pack_batched(clip_vertices, triangles)
     out = _forward_from_packed(tri_data, row_offset, image_width,
                                image_height, full_height, interpret)
     ids, bc, _ = out
     return out, (jax.lax.stop_gradient(tri_data), triangles,
-                 clip_vertices.shape[0], ids, bc, row_offset)
+                 clip_vertices.shape[1], ids, bc, row_offset)
 
 
 def _bwd(image_width, image_height, full_height, interpret, residuals,
@@ -399,25 +414,47 @@ def _bwd(image_width, image_height, full_height, interpret, residuals,
 _pallas_core.defvjp(_fwd, _bwd)
 
 
+def _default_interpret(interpret):
+    if interpret is None:
+        try:
+            return jax.devices()[0].platform != "tpu"
+        except Exception:  # pragma: no cover
+            return True
+    return bool(interpret)
+
+
+def rasterize_barycentric_pallas_batched(clip_vertices, triangles,
+                                         image_width, image_height,
+                                         row_offset=None, full_height=None,
+                                         interpret=None):
+    """Differentiable tiled-Pallas hard rasterization of a mesh batch.
+
+    clip_vertices is [batch, V, 4]; returns (ids [B, H, W] i32,
+    barycentrics [B, H, W, 3] f32, z [B, H, W] f32). The whole batch runs in
+    one pallas_call with batch as the leading grid dimension (do NOT vmap
+    over this function — batching is native).
+    """
+    if full_height is None:
+        full_height = image_height
+    if row_offset is None:
+        row_offset = jnp.zeros((), jnp.int32)
+    return _pallas_core(clip_vertices, jnp.asarray(triangles, jnp.int32),
+                        jnp.asarray(row_offset, jnp.int32), int(image_width),
+                        int(image_height), int(full_height),
+                        _default_interpret(interpret))
+
+
 def rasterize_barycentric_pallas(clip_vertices, triangles, image_width,
                                  image_height, row_offset=None,
                                  full_height=None, interpret=None):
-    """Differentiable tiled-Pallas hard rasterization of one mesh.
+    """Single-mesh wrapper over the batched Pallas rasterizer.
 
     Same contract as rasterize_xla.rasterize_barycentric_xla (ids /
     barycentrics / z-buffer; gradients through barycentrics only).
     `interpret` defaults to True off-TPU so tests exercise identical
     semantics on the CPU mesh.
     """
-    if full_height is None:
-        full_height = image_height
-    if row_offset is None:
-        row_offset = jnp.zeros((), jnp.int32)
-    if interpret is None:
-        try:
-            interpret = jax.devices()[0].platform != "tpu"
-        except Exception:  # pragma: no cover
-            interpret = True
-    return _pallas_core(clip_vertices, jnp.asarray(triangles, jnp.int32),
-                        jnp.asarray(row_offset, jnp.int32), int(image_width),
-                        int(image_height), int(full_height), bool(interpret))
+    ids, bc, z = rasterize_barycentric_pallas_batched(
+        clip_vertices[None], triangles, image_width, image_height,
+        row_offset=row_offset, full_height=full_height, interpret=interpret)
+    return ids[0], bc[0], z[0]

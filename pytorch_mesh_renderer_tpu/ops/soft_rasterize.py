@@ -319,6 +319,21 @@ def rasterize(world_space_vertices, triangles, normals, diffuse_colors,
     clip_space_vertices = camera.transform_homogeneous(
         camera_matrices, world_space_vertices)
 
+    cfg = config or config_lib.SOFT_CONFIG
+    if _select_backend(cfg) == "pallas":
+        try:
+            # Batch is a native grid dimension of the Pallas kernels (one
+            # pallas_call for the whole batch; vmap-free).
+            from .soft_rasterize_pallas import soft_rasterize_pallas_batched
+            return soft_rasterize_pallas_batched(
+                clip_space_vertices, triangles, world_space_vertices,
+                normals, diffuse_colors, light_positions, light_intensities,
+                image_width, image_height, sigma_val, gamma_val,
+                blur_radius=blur_radius, row_offset=row_offset,
+                full_height=full_height)
+        except (ImportError, TypeError):
+            pass  # traced sigma/gamma/blur or Pallas unavailable
+
     def one(clip_v, world_v, norms, colors, lights, intensities):
         return rasterize_batch(
             clip_v, triangles, world_v, norms, colors, lights, intensities,

@@ -55,6 +55,11 @@ _COLS = 53
 EPS = soft_xla.EPS
 _NEG_BIG = -1e30
 
+# Narrow tables ([T, 53] input, gradient blocks) lane-pad to 128 in VMEM; at
+# 10k+ triangles that exceeds the conservative default scoped limit, but
+# v5e has far more physical VMEM.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _pack_triangle_data(clip_space_vertices, triangles, world_space_vertices,
                         normals, diffuse_colors, blur_radius):
@@ -155,7 +160,7 @@ def _tile_bounds(ti, tj, row_off, image_width, full_height):
     return tile_min_x, tile_max_x, tile_min_y, tile_max_y
 
 
-def _chunk_forward(data, px, py, lights_ref, sigma, gamma, sq_blur,
+def _chunk_forward(data, px, py, light, sigma, gamma, sq_blur,
                    n_lights):
     """Recomputes all per-(pixel, chunk-triangle) forward quantities.
 
@@ -227,10 +232,10 @@ def _chunk_forward(data, px, py, lights_ref, sigma, gamma, sq_blur,
     light_sum = jnp.zeros_like(p3x)
     light_terms = []
     for l in range(n_lights):
-        lx = lights_ref[l, 0]
-        ly = lights_ref[l, 1]
-        lz = lights_ref[l, 2]
-        intensity = lights_ref[l, 3]
+        lx = light(l, 0)
+        ly = light(l, 1)
+        lz = light(l, 2)
+        intensity = light(l, 3)
         dx = lx - p3x
         dy = ly - p3y
         dz = lz - p3z
@@ -251,15 +256,20 @@ def _chunk_forward(data, px, py, lights_ref, sigma, gamma, sq_blur,
     logit = jnp.where(valid, z / gamma, _NEG_BIG)
 
     q.update(locals())
-    q.pop("data"); q.pop("lights_ref"); q.pop("q")
+    q.pop("data"); q.pop("light"); q.pop("q")
     return q
 
 
 def _fwd_kernel(params_ref, lights_ref, tri_ref, rgb0_ref, rgb1_ref,
                 rgb2_ref, alpha_ref, max_ref, sumw_ref, *, image_width,
                 image_height, full_height, n_tri_padded, n_lights):
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
+    # Grid: (batch, tile_row, tile_col) — the whole mesh batch renders in
+    # one pallas_call; never vmap these kernels.
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+
+    def light(l, k):
+        return lights_ref[0, l, k]
     sigma = params_ref[0]
     gamma = params_ref[1]
     sq_blur = params_ref[2]
@@ -272,14 +282,14 @@ def _fwd_kernel(params_ref, lights_ref, tri_ref, rgb0_ref, rgb1_ref,
 
     def chunk_body(c, carry):
         run_max, sum_w, sum_r, sum_g, sum_b, sil = carry
-        data = tri_ref[pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]
+        data = tri_ref[0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]
         hit = ((data[:, 22] <= tmax_x) & (data[:, 23] >= tmin_x) &
                (data[:, 24] <= tmax_y) & (data[:, 25] >= tmin_y) &
                (data[:, 21] > 0.0))
 
         def process(carry):
             run_max, sum_w, sum_r, sum_g, sum_b, sil = carry
-            q = _chunk_forward(data, px, py, lights_ref, sigma, gamma,
+            q = _chunk_forward(data, px, py, light, sigma, gamma,
                                sq_blur, n_lights)
             coverage, logit = q["coverage"], q["logit"]
             chunk_max = jnp.max(logit, axis=0)
@@ -309,30 +319,34 @@ def _fwd_kernel(params_ref, lights_ref, tri_ref, rgb0_ref, rgb1_ref,
 
     bg = jnp.maximum(jnp.exp(EPS / gamma - run_max), EPS)
     inv_total = 1.0 / (sum_w + bg)
-    rgb0_ref[:] = sum_r * inv_total
-    rgb1_ref[:] = sum_g * inv_total
-    rgb2_ref[:] = sum_b * inv_total
-    alpha_ref[:] = 1.0 - sil
-    max_ref[:] = run_max
-    sumw_ref[:] = sum_w
+    rgb0_ref[0] = sum_r * inv_total
+    rgb1_ref[0] = sum_g * inv_total
+    rgb2_ref[0] = sum_b * inv_total
+    alpha_ref[0] = 1.0 - sil
+    max_ref[0] = run_max
+    sumw_ref[0] = sum_w
 
 
 def _bwd_kernel(params_ref, lights_ref, tri_ref, max_ref, sumw_ref, sil_ref,
                 rgb0_ref, rgb1_ref, rgb2_ref, dr_ref, dg_ref, db_ref,
                 da_ref, ddata_ref, dlights_ref, *, image_width, image_height,
                 full_height, n_tri_padded, n_lights):
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
     sigma = params_ref[0]
     gamma = params_ref[1]
     sq_blur = params_ref[2]
     row_off = params_ref[3]
 
-    # Each grid step owns its slice of the per-tile partial tables (no
-    # block revisiting across steps — that pattern is not vmap-safe); the
-    # caller sums over tiles.
-    ddata_ref[:] = jnp.zeros_like(ddata_ref)
-    dlights_ref[:] = jnp.zeros_like(dlights_ref)
+    def light(l, k):
+        return lights_ref[0, l, k]
+
+    # Per-batch-element gradient accumulators, revisited across this batch
+    # element's consecutive tile steps; zero them on its first tile.
+    @pl.when((ti == 0) & (tj == 0))
+    def _init():
+        ddata_ref[:] = jnp.zeros_like(ddata_ref)
+        dlights_ref[:] = jnp.zeros_like(dlights_ref)
 
     px, py = _tile_coords(ti, tj, row_off, image_width, full_height)
     tmin_x, tmax_x, tmin_y, tmax_y = _tile_bounds(
@@ -349,7 +363,7 @@ def _bwd_kernel(params_ref, lights_ref, tri_ref, max_ref, sumw_ref, sil_ref,
               (col_idx + tj * TILE_W < image_width))
 
     def load(ref, default):
-        return jnp.where(pix_ok, ref[:], default)
+        return jnp.where(pix_ok, ref[0], default)
 
     run_max = load(max_ref, 1.0)
     sum_w = load(sumw_ref, 0.0)
@@ -377,7 +391,7 @@ def _bwd_kernel(params_ref, lights_ref, tri_ref, max_ref, sumw_ref, sil_ref,
         dlights_ref[sl] = dlights_ref[sl] + red
 
     def chunk_body(c, _):
-        data = tri_ref[pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]
+        data = tri_ref[0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]
         hit = ((data[:, 22] <= tmax_x) & (data[:, 23] >= tmin_x) &
                (data[:, 24] <= tmax_y) & (data[:, 25] >= tmin_y) &
                (data[:, 21] > 0.0))
@@ -386,7 +400,7 @@ def _bwd_kernel(params_ref, lights_ref, tri_ref, max_ref, sumw_ref, sil_ref,
             def col(k):
                 return data[:, k].reshape(TRI_CHUNK, 1, 1)
 
-            q = _chunk_forward(data, px, py, lights_ref, sigma, gamma,
+            q = _chunk_forward(data, px, py, light, sigma, gamma,
                                sq_blur, n_lights)
             cov = q["coverage"]                       # gated by valid
             E = jnp.exp(q["logit"] - run_max[None])   # 0 for invalid lanes
@@ -552,26 +566,35 @@ def _bwd_kernel(params_ref, lights_ref, tri_ref, max_ref, sumw_ref, sil_ref,
 
 def _run_forward(tri_data, lights, params, image_width, image_height,
                  full_height, n_lights, interpret):
-    n_tri_padded = tri_data.shape[0]
-    grid = (pl.cdiv(image_height, TILE_H), pl.cdiv(image_width, TILE_W))
+    """Batched forward: tri_data [B, T_pad, 53], lights [B, L, 4]."""
+    batch, n_tri_padded, _ = tri_data.shape
+    grid = (batch, pl.cdiv(image_height, TILE_H),
+            pl.cdiv(image_width, TILE_W))
     kernel = functools.partial(
         _fwd_kernel, image_width=image_width, image_height=image_height,
         full_height=full_height, n_tri_padded=n_tri_padded,
         n_lights=n_lights)
-    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+    tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
+                             lambda b, i, j: (b, i, j),
                              memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((image_height, image_width),
-                                      jnp.float32)] * 6
+    tri_spec = pl.BlockSpec((1, n_tri_padded, _COLS),
+                            lambda b, i, j: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    lights_spec = pl.BlockSpec((1, n_lights, 4), lambda b, i, j: (b, 0, 0),
+                               memory_space=pltpu.SMEM)
+    out_shape = [jax.ShapeDtypeStruct(
+        (batch, image_height, image_width), jnp.float32)] * 6
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sigma/gamma/blur/row
+            lights_spec,
+            tri_spec,
         ],
         out_specs=[tile_spec] * 6,
         out_shape=out_shape,
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(params, lights, tri_data)
 
@@ -579,43 +602,48 @@ def _run_forward(tri_data, lights, params, image_width, image_height,
 def _run_backward(tri_data, lights, params, run_max, sum_w, sil, rgb,
                   cotangent, image_width, image_height, full_height,
                   n_lights, interpret):
-    n_tri_padded = tri_data.shape[0]
-    grid = (pl.cdiv(image_height, TILE_H), pl.cdiv(image_width, TILE_W))
+    """Batched backward: [B, ...] residuals -> (ddata [B, T, 53],
+    dlights [B, L, 4])."""
+    batch, n_tri_padded, _ = tri_data.shape
+    grid = (batch, pl.cdiv(image_height, TILE_H),
+            pl.cdiv(image_width, TILE_W))
     kernel = functools.partial(
         _bwd_kernel, image_width=image_width, image_height=image_height,
         full_height=full_height, n_tri_padded=n_tri_padded,
         n_lights=n_lights)
-    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+    tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
+                             lambda b, i, j: (b, i, j),
                              memory_space=pltpu.VMEM)
-    # Per-tile partial tables (summed below) — see _bwd_kernel's init note.
-    n_tiles = grid[0] * grid[1]
-    acc_spec_data = pl.BlockSpec(
-        (1, n_tri_padded, _COLS),
-        lambda i, j, _gj=grid[1]: (i * _gj + j, 0, 0),
-        memory_space=pltpu.VMEM)
-    acc_spec_lights = pl.BlockSpec(
-        (1, n_lights, 4),
-        lambda i, j, _gj=grid[1]: (i * _gj + j, 0, 0),
-        memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec((1, n_tri_padded, _COLS),
+                            lambda b, i, j: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    lights_spec = pl.BlockSpec((1, n_lights, 4), lambda b, i, j: (b, 0, 0),
+                               memory_space=pltpu.SMEM)
+    acc_spec_data = pl.BlockSpec((1, n_tri_padded, _COLS),
+                                 lambda b, i, j: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    acc_spec_lights = pl.BlockSpec((1, n_lights, 4),
+                                   lambda b, i, j: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)
     ddata, dlights = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            lights_spec,
+            tri_spec,
         ] + [tile_spec] * 10,
         out_specs=[acc_spec_data, acc_spec_lights],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, n_tri_padded, _COLS),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, n_lights, 4), jnp.float32),
+            jax.ShapeDtypeStruct((batch, n_tri_padded, _COLS), jnp.float32),
+            jax.ShapeDtypeStruct((batch, n_lights, 4), jnp.float32),
         ],
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(params, lights, tri_data, run_max, sum_w, sil, rgb[..., 0],
       rgb[..., 1], rgb[..., 2], cotangent[..., 0], cotangent[..., 1],
       cotangent[..., 2], cotangent[..., 3])
-    return jnp.sum(ddata, axis=0), jnp.sum(dlights, axis=0)
+    return ddata, dlights
 
 
 def _make_params(sigma_val, gamma_val, blur_radius, row_offset):
@@ -625,6 +653,10 @@ def _make_params(sigma_val, gamma_val, blur_radius, row_offset):
         jnp.asarray(blur_radius, jnp.float32).reshape(()) ** 2,
         jnp.asarray(row_offset, jnp.float32).reshape(()),
     ])
+
+
+_pack_batched = jax.vmap(_pack_triangle_data,
+                         in_axes=(0, None, 0, 0, 0, None))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
@@ -643,39 +675,39 @@ def _soft_pallas_core(clip_space_vertices, triangles, world_space_vertices,
 def _fwd(clip_v, triangles, world_v, normals, colors, lights, intensities,
          row_offset, image_width, image_height, sigma_val, gamma_val,
          blur_radius, full_height, interpret):
-    tri_data = _pack_triangle_data(clip_v, triangles, world_v, normals,
-                                   colors, blur_radius)
+    tri_data = _pack_batched(clip_v, triangles, world_v, normals, colors,
+                             blur_radius)
     lights_packed = jnp.concatenate(
         [jnp.asarray(lights, jnp.float32),
-         jnp.asarray(intensities, jnp.float32).reshape(-1, 1)], axis=1)
+         jnp.asarray(intensities, jnp.float32)[..., None]], axis=-1)
     params = _make_params(sigma_val, gamma_val, blur_radius, row_offset)
     r, g, b, a, run_max, sum_w = _run_forward(
         tri_data, lights_packed, params, image_width, image_height,
-        full_height, lights.shape[0], interpret)
+        full_height, lights.shape[-2], interpret)
     out = jnp.stack([r, g, b, a], axis=-1)
-    residuals = (clip_v, triangles, world_v, normals, colors, lights,
-                 intensities, row_offset, tri_data, lights_packed, params,
-                 run_max, sum_w, jnp.stack([r, g, b], axis=-1), a)
+    residuals = (triangles, jax.lax.stop_gradient(tri_data),
+                 jax.lax.stop_gradient(lights_packed), params, run_max,
+                 sum_w, jnp.stack([r, g, b], axis=-1), a,
+                 clip_v, world_v, normals, colors)
     return out, residuals
 
 
 def _bwd(image_width, image_height, sigma_val, gamma_val, blur_radius,
          full_height, interpret, residuals, cotangent):
-    (clip_v, triangles, world_v, normals, colors, lights, intensities,
-     row_offset, tri_data, lights_packed, params, run_max, sum_w, rgb,
-     alpha) = residuals
+    (triangles, tri_data, lights_packed, params, run_max, sum_w, rgb, alpha,
+     clip_v, world_v, normals, colors) = residuals
     ddata, dlights_packed = _run_backward(
         tri_data, lights_packed, params, run_max, sum_w, 1.0 - alpha, rgb,
-        cotangent, image_width, image_height, full_height, lights.shape[0],
-        interpret)
+        cotangent, image_width, image_height, full_height,
+        lights_packed.shape[-2], interpret)
     # Transpose the (cheap) packing to reach clip vertices and attributes.
     _, pack_vjp = jax.vjp(
-        lambda cv, wv, nn, cc: _pack_triangle_data(
+        lambda cv, wv, nn, cc: _pack_batched(
             cv, triangles, wv, nn, cc, blur_radius),
         clip_v, world_v, normals, colors)
     dclip, dworld, dnormals, dcolors = pack_vjp(ddata)
-    dlight_pos = dlights_packed[:, :3]
-    dlight_int = dlights_packed[:, 3]
+    dlight_pos = dlights_packed[..., :3]
+    dlight_int = dlights_packed[..., 3]
     tri_cot = np.zeros(np.shape(triangles), dtype=jax.dtypes.float0)
     row_cot = np.zeros((), dtype=jax.dtypes.float0)
     return (dclip, tri_cot, dworld, dnormals, dcolors, dlight_pos,
@@ -687,31 +719,58 @@ _soft_pallas_core.defvjp(
     _bwd)
 
 
-def rasterize_batch_pallas(clip_space_vertices, triangles,
-                           world_space_vertices, normals, diffuse_colors,
-                           light_positions, light_intensities, image_width,
-                           image_height, sigma_val, gamma_val,
-                           blur_radius=0.01, row_offset=None,
-                           full_height=None, interpret=None):
-    """Soft-rasterize one mesh with the tiled Pallas forward+backward.
+def _default_interpret(interpret):
+    if interpret is None:
+        try:
+            return jax.devices()[0].platform != "tpu"
+        except Exception:  # pragma: no cover
+            return True
+    return bool(interpret)
 
-    Contract identical to soft_rasterize.rasterize_batch. sigma/gamma/blur
-    are static floats for this backend (they parameterize the compiled
-    kernels); use the XLA backend to differentiate w.r.t. them.
+
+def soft_rasterize_pallas_batched(clip_space_vertices, triangles,
+                                  world_space_vertices, normals,
+                                  diffuse_colors, light_positions,
+                                  light_intensities, image_width,
+                                  image_height, sigma_val, gamma_val,
+                                  blur_radius=0.01, row_offset=None,
+                                  full_height=None, interpret=None):
+    """Soft-rasterize a mesh batch with the tiled Pallas fwd+bwd kernels.
+
+    All scene inputs carry a leading batch dimension (clip [B, V, 4], world
+    / normals / colors [B, V, 3], lights [B, L, 3], intensities [B, L]);
+    the whole batch runs in one pallas_call with batch as the leading grid
+    dimension (do NOT vmap over this function — batching is native).
+    sigma/gamma/blur are static floats for this backend; use the XLA
+    backend to differentiate w.r.t. them.
     """
     if full_height is None:
         full_height = image_height
     if row_offset is None:
         row_offset = jnp.zeros((), jnp.int32)
-    if interpret is None:
-        try:
-            interpret = jax.devices()[0].platform != "tpu"
-        except Exception:  # pragma: no cover
-            interpret = True
     return _soft_pallas_core(
         clip_space_vertices, jnp.asarray(triangles, jnp.int32),
         world_space_vertices, normals, diffuse_colors, light_positions,
         light_intensities, jnp.asarray(row_offset, jnp.int32),
         int(image_width), int(image_height), float(sigma_val),
         float(gamma_val), float(blur_radius), int(full_height),
-        bool(interpret))
+        _default_interpret(interpret))
+
+
+def rasterize_batch_pallas(clip_space_vertices, triangles,
+                           world_space_vertices, normals, diffuse_colors,
+                           light_positions, light_intensities, image_width,
+                           image_height, sigma_val, gamma_val,
+                           blur_radius=0.01, row_offset=None,
+                           full_height=None, interpret=None):
+    """Single-mesh wrapper over the batched Pallas soft rasterizer.
+
+    Contract identical to soft_rasterize.rasterize_batch.
+    """
+    out = soft_rasterize_pallas_batched(
+        clip_space_vertices[None], triangles, world_space_vertices[None],
+        normals[None], diffuse_colors[None], light_positions[None],
+        light_intensities[None], image_width, image_height, sigma_val,
+        gamma_val, blur_radius=blur_radius, row_offset=row_offset,
+        full_height=full_height, interpret=interpret)
+    return out[0]

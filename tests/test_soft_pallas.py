@@ -85,8 +85,12 @@ def test_soft_pallas_backward_matches_xla_ad():
             f"vs magnitude {scale}")
 
 
-def test_soft_pallas_under_vmap():
-    """The batched model path (vmap over the kernel) stays correct."""
+def test_soft_pallas_batched_matches_single():
+    """Native batching (batch as a grid axis) equals per-item calls, and
+    batched gradients are finite and consistent for identical elements."""
+    from pytorch_mesh_renderer_tpu.ops.soft_rasterize_pallas import (
+        soft_rasterize_pallas_batched)
+
     args, tris = _scene()
     clip, world, normals, colors, lights, intens = args
     batch = 3
@@ -94,20 +98,30 @@ def test_soft_pallas_under_vmap():
     clips = clip[None] * scales[:, None, None]
     clips = clips.at[..., 3].set(clip[None, :, 3])
     worlds = jnp.tile(world[None], [batch, 1, 1])
+    normals_b = jnp.tile(normals[None], [batch, 1, 1])
+    colors_b = jnp.tile(colors[None], [batch, 1, 1])
+    lights_b = jnp.tile(lights[None], [batch, 1, 1])
+    intens_b = jnp.tile(intens[None], [batch, 1])
 
-    def one(c, wld):
-        return rasterize_batch_pallas(c, tris, wld, normals, colors, lights,
-                                      intens, SIZE, SIZE, SIGMA, GAMMA, BLUR)
-
-    batched = jax.vmap(one)(clips, worlds)
+    batched = soft_rasterize_pallas_batched(
+        clips, tris, worlds, normals_b, colors_b, lights_b, intens_b,
+        SIZE, SIZE, SIGMA, GAMMA, BLUR)
     for i in range(batch):
-        single = one(clips[i], worlds[i])
+        single = rasterize_batch_pallas(
+            clips[i], tris, worlds[i], normals_b[i], colors_b[i],
+            lights_b[i], intens_b[i], SIZE, SIZE, SIGMA, GAMMA, BLUR)
         np.testing.assert_allclose(np.asarray(batched[i]),
                                    np.asarray(single), atol=1e-5)
 
     def loss(c):
-        return jnp.mean(jax.vmap(one)(c, worlds)[..., 3])
+        out = soft_rasterize_pallas_batched(
+            c, tris, worlds, normals_b, colors_b, lights_b, intens_b,
+            SIZE, SIZE, SIGMA, GAMMA, BLUR)
+        return jnp.mean(out[..., 3])
 
-    g = jax.grad(loss)(clips)
+    g = jax.grad(loss)(jnp.tile(clip[None], [batch, 1, 1]))
     assert bool(jnp.isfinite(g).all())
     assert float(jnp.abs(g).max()) > 0.0
+    for i in range(1, batch):
+        np.testing.assert_allclose(np.asarray(g[i]), np.asarray(g[0]),
+                                   atol=1e-6)

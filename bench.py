@@ -29,6 +29,9 @@ BASELINE_MEASURED = {
     # USE_CPP_RASTERIZER=True), batch-4 256^2 teapot, full render + autograd
     # backward per step.
     "hard_teapot_256_fwdbwd_renders_per_sec": 0.1198,
+    # Reference soft renderer (python-only per-pixel loop), one fwd+bwd step
+    # of a cube silhouette at 128^2: 31.4 s/step.
+    "soft_cube_128_fwdbwd_renders_per_sec": 0.0318,
 }
 _BASELINE_FILE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
@@ -138,22 +141,84 @@ def bench_soft(batch, size, iters):
     return batch * iters / dt, scene
 
 
+def bench_pose(steps, size):
+    """BASELINE config 4: recover a cube rotation via SoftRas silhouette
+    IoU with Adam; reports optimization steps/sec (fwd+bwd+update)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from pytorch_mesh_renderer_tpu.models import shapes, soft_mesh_renderer
+    from pytorch_mesh_renderer_tpu.ops import camera, losses
+
+    verts, tris, _ = shapes.cube(2.0)
+    eye = jnp.array([[0.0, 0.0, 6.0]], jnp.float32)
+    center = jnp.zeros([1, 3]); up = jnp.array([[0.0, 1.0, 0.0]])
+    colors = jnp.ones_like(verts)[None]
+
+    def render_alpha(angles):
+        rot = camera.euler_matrices(angles[None])[0, :3, :3]
+        v = (verts @ rot.T)[None]
+        return soft_mesh_renderer.render(
+            v, tris, colors, eye, center, up, eye[:, None, :],
+            jnp.ones([1, 1]), size, size, sigma_val=1e-4,
+            gamma_val=1e-4)[0, ..., 3]
+
+    target = render_alpha(jnp.array([-0.35, 0.0, 1.05]))
+    opt = optax.adam(5e-2)
+
+    @jax.jit
+    def step(angles, opt_state):
+        def loss_fn(a):
+            return 1.0 - losses.silhouette_iou(render_alpha(a), target)
+        loss, g = jax.value_and_grad(loss_fn)(angles)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(angles, updates), opt_state, loss
+
+    angles = jnp.zeros(3)
+    opt_state = opt.init(angles)
+    angles, opt_state, loss = step(angles, opt_state)  # compile
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        angles, opt_state, loss = step(angles, opt_state)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return steps / dt, float(loss), np.asarray(angles)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--soft", action="store_true")
+    parser.add_argument("--pose", action="store_true",
+                        help="500-step Adam pose-optimization benchmark")
+    parser.add_argument("--steps", type=int, default=500)
     args = parser.parse_args()
 
     import jax
     platform = jax.devices()[0].platform
 
+    if args.pose:
+        value, final_loss, _ = bench_pose(args.steps, 128)
+        print(json.dumps({
+            "metric": (f"soft pose-optimization steps/sec @128^2 "
+                       f"({args.steps} Adam steps, {platform}), final IoU "
+                       f"loss {final_loss:.4f}"),
+            "value": round(value, 3),
+            "unit": "steps/sec",
+            "vs_baseline": None,
+        }))
+        return
+
     if args.soft:
         value, scene = bench_soft(args.batch, args.size, args.iters)
         metric = (f"soft fwd+bwd renders/sec @ {args.size}^2 "
                   f"({scene['mesh_name']}, batch {args.batch}, {platform})")
-        baseline = None
+        baseline = (BASELINE_MEASURED.get(
+            "soft_cube_128_fwdbwd_renders_per_sec")
+            if args.size == 128 else None)
     else:
         value, scene = bench_hard(args.batch, args.size, args.iters)
         metric = (f"hard fwd+bwd renders/sec @ {args.size}^2 "

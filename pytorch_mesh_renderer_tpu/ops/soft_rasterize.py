@@ -318,12 +318,28 @@ def rasterize(world_space_vertices, triangles, normals, diffuse_colors,
     """
     clip_space_vertices = camera.transform_homogeneous(
         camera_matrices, world_space_vertices)
+    return rasterize_clip_space_batch(
+        clip_space_vertices, triangles, world_space_vertices, normals,
+        diffuse_colors, light_positions, light_intensities, image_width,
+        image_height, sigma_val, gamma_val, blur_radius=blur_radius,
+        config=config, row_offset=row_offset, full_height=full_height)
 
+
+def rasterize_clip_space_batch(clip_space_vertices, triangles,
+                               world_space_vertices, normals, diffuse_colors,
+                               light_positions, light_intensities,
+                               image_width, image_height, sigma_val,
+                               gamma_val, blur_radius=0.01, config=None,
+                               row_offset=None, full_height=None):
+    """Batched soft rasterization of already-projected meshes.
+
+    All scene inputs carry a leading batch dimension. On the Pallas backend
+    the batch is a native grid dimension (one pallas_call, vmap-free); the
+    XLA backend vmaps the per-mesh kernel.
+    """
     cfg = config or config_lib.SOFT_CONFIG
     if _select_backend(cfg) == "pallas":
         try:
-            # Batch is a native grid dimension of the Pallas kernels (one
-            # pallas_call for the whole batch; vmap-free).
             from .soft_rasterize_pallas import soft_rasterize_pallas_batched
             return soft_rasterize_pallas_batched(
                 clip_space_vertices, triangles, world_space_vertices,

@@ -127,15 +127,11 @@ def sharded_soft_rasterize(mesh, world_space_vertices, triangles, normals,
 
     def strip(clip_v, world_v, norms, colors, lights, intensities):
         row_offset = jax.lax.axis_index(SPACE_AXIS) * local_h
-
-        def one(cv, wv, nn, cc, ll, ii):
-            return soft_rasterize_lib.rasterize_batch(
-                cv, tris, wv, nn, cc, ll, ii, image_width, local_h,
-                sigma_val, gamma_val, blur_radius=blur_radius, config=config,
-                row_offset=row_offset, full_height=image_height)
-
-        return jax.vmap(one)(clip_v, world_v, norms, colors, lights,
-                             intensities)
+        return soft_rasterize_lib.rasterize_clip_space_batch(
+            clip_v, tris, world_v, norms, colors, lights, intensities,
+            image_width, local_h, sigma_val, gamma_val,
+            blur_radius=blur_radius, config=config, row_offset=row_offset,
+            full_height=image_height)
 
     fn = jax.shard_map(
         strip, mesh=mesh,

@@ -19,15 +19,15 @@ Typical use mirrors the reference library:
     images = pmr.soft_mesh_renderer.render(vertices, triangles, colors, ...)
 """
 
-from . import config
+from . import config, parallel
 from .models import mesh_renderer, soft_mesh_renderer
 from .models import shapes
-from .ops import camera, mesh
-from .utils import obj_io, debug
+from .ops import camera, losses, mesh
+from .utils import checkpoint, debug, obj_io, profiling
 
 __all__ = [
-    "config", "mesh_renderer", "soft_mesh_renderer", "shapes", "camera",
-    "mesh", "obj_io", "debug",
+    "config", "parallel", "mesh_renderer", "soft_mesh_renderer", "shapes",
+    "camera", "losses", "mesh", "obj_io", "checkpoint", "debug", "profiling",
 ]
 
 __version__ = "0.1.0"

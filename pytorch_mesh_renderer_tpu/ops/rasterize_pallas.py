@@ -47,11 +47,10 @@ from .barycentric import (DEGENERATE_BARYCENTRIC_CUTOFF,
 # VMEM even at 10k+ triangles).
 TILE_H = 32
 TILE_W = 128
-# Triangles processed per inner step ([chunk, TILE_H, TILE_W] temporaries).
-TRI_CHUNK = 8
-# The backward kernel keeps more temporaries live per chunk; a smaller chunk
-# keeps its scoped-VMEM footprint under the 16MB/core limit.
-BWD_TRI_CHUNK = 4
+# Triangles processed per inner step ([chunk, TILE_H, TILE_W] temporaries);
+# 16 measured fastest at 256^2 (fewer cull branches per tile).
+TRI_CHUNK = 16
+BWD_TRI_CHUNK = 16
 
 # Packed triangle-data columns (see _pack_triangle_data).
 _COLS = 21

@@ -50,7 +50,8 @@ from . import soft_rasterize as soft_xla
 
 TILE_H = 32
 TILE_W = 128
-TRI_CHUNK = 8
+# 16 measured slightly faster than 8 at 128^2 (fewer cull branches).
+TRI_CHUNK = 16
 _COLS = 53
 EPS = soft_xla.EPS
 _NEG_BIG = -1e30

@@ -42,11 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .barycentric import (DEGENERATE_BARYCENTRIC_CUTOFF,
                           unnormalized_matrix_inverse)
 
-# Tile dimensions (f32 min tile is 8x128; 32x128 balances loop overhead
-# against VMEM pressure — the backward's chunk temporaries must fit scoped
-# VMEM even at 10k+ triangles).
-TILE_H = 32
-TILE_W = 128
+# Tile dimensions (f32 min tile is 8x128). (16, 256) measured fastest at
+# 256^2-512^2: short tiles tighten the bbox cull while wide lanes keep the
+# VPU fed.
+TILE_H = 16
+TILE_W = 256
 # Triangles processed per inner step ([chunk, TILE_H, TILE_W] temporaries);
 # 16 measured fastest at 256^2 (fewer cull branches per tile).
 TRI_CHUNK = 16

@@ -103,12 +103,21 @@ def rasterize_clip_space(clip_space_vertices, attributes, triangles,
     cfg = config or config_lib.HARD_CONFIG
     if _select_backend(cfg) == "pallas":
         # Batch is a native grid dimension of the Pallas kernels (one
-        # pallas_call for the whole batch; vmap-free).
-        from .rasterize_pallas import rasterize_barycentric_pallas_batched
-        px_triangle_ids, px_barycentric, _ = (
-            rasterize_barycentric_pallas_batched(
-                clip_space_vertices, tris, image_width, image_height,
+        # pallas_call for the whole batch; vmap-free), and attribute
+        # interpolation is fused into the kernel: per-pixel gathers from
+        # [B, V, A] (and the pixel-count-sized scatter-add in the backward)
+        # do not vectorize on TPU and cost more than rasterization itself.
+        from .rasterize_pallas import rasterize_interpolate_pallas_batched
+        _, px_barycentric, attribute_images = (
+            rasterize_interpolate_pallas_batched(
+                clip_space_vertices, jnp.asarray(attributes, jnp.float32),
+                tris, image_width, image_height,
                 row_offset=row_offset, full_height=full_height))
+        alphas = jnp.clip(
+            jnp.sum(2.0 * px_barycentric, axis=-1), 0.0, 1.0)[..., None]
+        background_value = jnp.asarray(background_value, jnp.float32)
+        return (alphas * attribute_images +
+                (1.0 - alphas) * background_value)
     else:
         def kernel(verts):
             return rasterize_barycentric(

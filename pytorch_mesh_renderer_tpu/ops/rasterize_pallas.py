@@ -457,3 +457,459 @@ def rasterize_barycentric_pallas(clip_vertices, triangles, image_width,
         clip_vertices[None], triangles, image_width, image_height,
         row_offset=row_offset, full_height=full_height, interpret=interpret)
     return ids[0], bc[0], z[0]
+
+
+# ---------------------------------------------------------------------------
+# Fused rasterization + attribute interpolation
+# ---------------------------------------------------------------------------
+# The unfused pipeline (kernel -> XLA gather of [B,H,W,3] corner attributes
+# -> barycentric sum; backward = pixel-count-sized scatter-add into [B,V,A])
+# costs more than the rasterizer itself on TPU: gathers/scatters at
+# per-pixel granularity do not vectorize. Here interpolation happens inside
+# the tile kernels: corner attributes are gathered ONCE per triangle at pack
+# time ([B, T, 3*A], a T-sized gather), streamed through VMEM next to the
+# triangle table, and combined with the per-chunk winner mask as [C, P] x
+# [C, A] MXU matmuls (P = pixels per tile). The backward similarly reduces
+# per-pixel attribute cotangents to a per-triangle [T, 3*A] table with two
+# matmuls per chunk, leaving only a T-sized scatter on the host side —
+# mirroring the [T, 9] corner-gradient table of the unfused backward.
+#
+# Reference semantics preserved: attribute images equal
+# sum_k b_k * attr[corner_k(winner)] (rasterize.py:130-141), gradients flow
+# to both vertices and attributes, and the alpha/background composite stays
+# outside the kernel (XLA fuses it).
+
+
+def _pad_attr_count(attribute_count):
+    return max(8, -(-attribute_count // 8) * 8)
+
+
+def _pack_corner_attributes(attributes, triangles, a_pad, n_tri_padded):
+    """[B, V, A] -> [B, T_pad, 3*a_pad] per-triangle corner attributes."""
+    corner = attributes[:, triangles]  # [B, T, 3, A]
+    batch, t, _, a = corner.shape
+    corner = jnp.pad(
+        corner, [(0, 0), (0, n_tri_padded - t), (0, 0), (0, a_pad - a)])
+    return corner.reshape(batch, n_tri_padded, 3 * a_pad)
+
+
+def _kernel_fused(row_off_ref, tri_ref, attr_in_ref, id_ref, b0_ref, b1_ref,
+                  b2_ref, z_ref, attr_ref, *, image_width, image_height,
+                  full_height, n_tri_padded, a_pad):
+    """Forward tile kernel with in-tile attribute interpolation.
+
+    Same rasterization loop as _kernel plus a flat [a_pad, P] attribute
+    carry: each chunk's winning triangles contribute
+    sum_k (winner * b_k) @ corner_attrs_k via MXU matmuls, and the carry
+    keeps the value from whichever chunk currently wins the z-test.
+    """
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    n_pix = TILE_H * TILE_W
+
+    rows = (jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+        + ti * TILE_H + row_off_ref[0])
+    cols = (jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+        + tj * TILE_W)
+    py = (rows + 0.5) * (2.0 / full_height) - 1.0
+    px = (cols + 0.5) * (2.0 / image_width) - 1.0
+
+    tile_min_x = (tj * TILE_W) * (2.0 / image_width) - 1.0
+    tile_max_x = ((tj + 1) * TILE_W) * (2.0 / image_width) - 1.0
+    tile_min_y = (ti * TILE_H + row_off_ref[0]) * (2.0 / full_height) - 1.0
+    tile_max_y = (((ti + 1) * TILE_H + row_off_ref[0])
+                  * (2.0 / full_height) - 1.0)
+
+    n_chunks = n_tri_padded // TRI_CHUNK
+
+    def chunk_body(c, carry):
+        data = tri_ref[0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]  # [C, 21]
+        hit = ((data[:, 16] <= tile_max_x) & (data[:, 17] >= tile_min_x) &
+               (data[:, 18] <= tile_max_y) & (data[:, 19] >= tile_min_y) &
+               (data[:, 15] > 0.0))
+
+        def rasterize_chunk(carry):
+            best_z, best_id, best_b0, best_b1, best_b2, best_attr = carry
+
+            def col(k):
+                return data[:, k].reshape(TRI_CHUNK, 1, 1)
+
+            e0 = col(0) * px + col(1) * py + col(2)
+            e1 = col(3) * px + col(4) * py + col(5)
+            e2 = col(6) * px + col(7) * py + col(8)
+            inside = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) &
+                      ((e0 > 0.0) | (e1 > 0.0) | (e2 > 0.0)))
+            sum_e = e0 + e1 + e2
+            inv_sum = 1.0 / jnp.where(sum_e != 0.0, sum_e, 1.0)
+            b0 = e0 * inv_sum
+            b1 = e1 * inv_sum
+            b2 = e2 * inv_sum
+            clip_z = b0 * col(9) + b1 * col(10) + b2 * col(11)
+            clip_w = b0 * col(12) + b1 * col(13) + b2 * col(14)
+            z = clip_z / jnp.where(clip_w != 0.0, clip_w, 1.0)
+            valid = (inside & (col(15) > 0.0) & (z >= -1.0) & (z <= 1.0))
+
+            tri_ids = (c * TRI_CHUNK
+                       + jax.lax.broadcasted_iota(
+                           jnp.int32, (TRI_CHUNK, 1, 1), 0))
+            z_masked = jnp.where(valid, z, 2.0)
+            chunk_z = jnp.min(z_masked, axis=0)
+            at_min = valid & (z_masked == chunk_z[None])
+            chunk_id = jnp.max(jnp.where(at_min, tri_ids, -1), axis=0)
+            winner = at_min & (tri_ids == chunk_id[None])
+            wf = winner.astype(jnp.float32)
+            w0 = wf * b0
+            w1 = wf * b1
+            w2 = wf * b2
+            chunk_b0 = jnp.sum(w0, axis=0)
+            chunk_b1 = jnp.sum(w1, axis=0)
+            chunk_b2 = jnp.sum(w2, axis=0)
+
+            ablk = attr_in_ref[0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]
+            chunk_attr = jnp.zeros((a_pad, n_pix), jnp.float32)
+            for k, wk in enumerate((w0, w1, w2)):
+                ak = ablk[:, k * a_pad:(k + 1) * a_pad]  # [C, A]
+                chunk_attr = chunk_attr + jax.lax.dot_general(
+                    ak, wk.reshape(TRI_CHUNK, n_pix),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [A, P]
+
+            better = ((chunk_z < best_z) |
+                      ((chunk_z == best_z) & (chunk_id > best_id)))
+            # Mosaic can't shape-cast i1 vectors; flatten as f32.
+            betterf = better.astype(jnp.float32).reshape(1, n_pix) > 0.0
+            best_z = jnp.where(better, chunk_z, best_z)
+            best_id = jnp.where(better, chunk_id, best_id)
+            best_b0 = jnp.where(better, chunk_b0, best_b0)
+            best_b1 = jnp.where(better, chunk_b1, best_b1)
+            best_b2 = jnp.where(better, chunk_b2, best_b2)
+            best_attr = jnp.where(betterf, chunk_attr, best_attr)
+            return (best_z, best_id, best_b0, best_b1, best_b2, best_attr)
+
+        return jax.lax.cond(jnp.any(hit), rasterize_chunk, lambda cr: cr,
+                            carry)
+
+    zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    init = (jnp.ones((TILE_H, TILE_W), jnp.float32),
+            jnp.full((TILE_H, TILE_W), -1, jnp.int32),
+            zeros, zeros, zeros,
+            jnp.zeros((a_pad, n_pix), jnp.float32))
+    best_z, best_id, best_b0, best_b1, best_b2, best_attr = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, init)
+
+    id_ref[0] = jnp.maximum(best_id, 0)
+    b0_ref[0] = best_b0
+    b1_ref[0] = best_b1
+    b2_ref[0] = best_b2
+    z_ref[0] = best_z
+    attr_ref[0] = best_attr.reshape(a_pad, TILE_H, TILE_W)
+
+
+def _forward_fused(tri_data, attr_packed, row_offset, image_width,
+                   image_height, full_height, interpret):
+    """Fused forward: -> (ids, bc, z, attrs [B, a_pad, H, W])."""
+    batch, n_tri_padded, _ = tri_data.shape
+    a3 = attr_packed.shape[-1]
+    a_pad = a3 // 3
+    grid = (batch, pl.cdiv(image_height, TILE_H),
+            pl.cdiv(image_width, TILE_W))
+    kernel = functools.partial(
+        _kernel_fused, image_width=image_width, image_height=image_height,
+        full_height=full_height, n_tri_padded=n_tri_padded, a_pad=a_pad)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, image_height, image_width), jnp.int32),
+    ] + [jax.ShapeDtypeStruct((batch, image_height, image_width),
+                              jnp.float32)] * 4 + [
+        jax.ShapeDtypeStruct((batch, a_pad, image_height, image_width),
+                             jnp.float32),
+    ]
+    tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
+                             lambda b, i, j: (b, i, j),
+                             memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec((1, n_tri_padded, _COLS),
+                            lambda b, i, j: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    attr_in_spec = pl.BlockSpec((1, n_tri_padded, a3),
+                                lambda b, i, j: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    attr_out_spec = pl.BlockSpec((1, a_pad, TILE_H, TILE_W),
+                                 lambda b, i, j: (b, 0, i, j),
+                                 memory_space=pltpu.VMEM)
+    row_off = jnp.asarray(row_offset, jnp.float32).reshape(1)
+
+    ids, b0, b1, b2, z, attrs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tri_spec,
+            attr_in_spec,
+        ],
+        out_specs=[tile_spec] * 5 + [attr_out_spec],
+        out_shape=out_shape,
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(row_off, tri_data, attr_packed)
+    bc = jnp.stack([b0, b1, b2], axis=-1)
+    return ids, bc, jnp.where(z > 1.0, 1.0, z), attrs
+
+
+def _bwd_kernel_fused(row_off_ref, tri_ref, attr_in_ref, id_ref, b0_ref,
+                      b1_ref, b2_ref, g0_ref, g1_ref, g2_ref, gattr_ref,
+                      dcorner_ref, dattr_ref, *, image_width, image_height,
+                      full_height, n_tri_padded, a_pad):
+    """Fused backward: vertex-gradient table + attribute-gradient table.
+
+    Extends _bwd_kernel's analytic chain with the interpolation VJP: the
+    per-pixel barycentric cotangent picks up sum_a gattr[a] * attr_k[t, a]
+    (computed per chunk as [C, A] @ [A, P] matmuls, selected by the winner
+    mask), and the per-triangle attribute gradient accumulates
+    (mask * b_k) @ gattr^T into a [T_pad, 3*a_pad] table.
+    """
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    n_pix = TILE_H * TILE_W
+
+    @pl.when((ti == 0) & (tj == 0))
+    def _init():
+        dcorner_ref[:] = jnp.zeros_like(dcorner_ref)
+        dattr_ref[:] = jnp.zeros_like(dattr_ref)
+
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    pix_ok = ((row_idx + ti * TILE_H < image_height) &
+              (col_idx + tj * TILE_W < image_width))
+
+    ids = jnp.where(pix_ok, id_ref[0], -1)
+    b0 = jnp.where(pix_ok, b0_ref[0], 0.0)
+    b1 = jnp.where(pix_ok, b1_ref[0], 0.0)
+    b2 = jnp.where(pix_ok, b2_ref[0], 0.0)
+    g0 = jnp.where(pix_ok, g0_ref[0], 0.0)
+    g1 = jnp.where(pix_ok, g1_ref[0], 0.0)
+    g2 = jnp.where(pix_ok, g2_ref[0], 0.0)
+    gattr = jnp.where(pix_ok[None], gattr_ref[0], 0.0)  # [A, TH, TW]
+    gattrf = gattr.reshape(a_pad, n_pix)
+    b0f = b0.reshape(1, n_pix)
+    b1f = b1.reshape(1, n_pix)
+    b2f = b2.reshape(1, n_pix)
+
+    active = ~((ids == 0) &
+               (b0 + b1 + b2 < DEGENERATE_BARYCENTRIC_CUTOFF))
+
+    masked_ids = jnp.where(active, ids, jnp.iinfo(jnp.int32).max)
+    tile_id_min = jnp.min(jnp.min(masked_ids, axis=1), axis=0)
+    tile_id_max = jnp.max(jnp.max(jnp.where(active, ids, -1), axis=1),
+                          axis=0)
+
+    n_chunks = n_tri_padded // BWD_TRI_CHUNK
+
+    def chunk_body(c, _):
+        hit = ((c * BWD_TRI_CHUNK <= tile_id_max) &
+               ((c + 1) * BWD_TRI_CHUNK > tile_id_min))
+
+        def process(_):
+            data = tri_ref[0, pl.ds(c * BWD_TRI_CHUNK, BWD_TRI_CHUNK), :]
+            ablk = attr_in_ref[0, pl.ds(c * BWD_TRI_CHUNK, BWD_TRI_CHUNK), :]
+
+            def col(k):
+                return data[:, k].reshape(BWD_TRI_CHUNK, 1, 1)
+
+            tid = (c * BWD_TRI_CHUNK + jax.lax.broadcasted_iota(
+                jnp.int32, (BWD_TRI_CHUNK, 1, 1), 0))
+            mask = ((ids[None] == tid) & active[None]).astype(jnp.float32)
+            maskf = mask.reshape(BWD_TRI_CHUNK, n_pix)
+            inv_det = col(20)
+
+            # Interpolation contribution to the barycentric cotangents:
+            # dbc_k(p) = sum_a gattr(a, p) * attr_k[winner(p), a].
+            dbc = []
+            for k in range(3):
+                ak = ablk[:, k * a_pad:(k + 1) * a_pad]  # [C, A]
+                proj = jax.lax.dot_general(
+                    ak, gattrf, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [C, P]
+                proj = proj.reshape(BWD_TRI_CHUNK, TILE_H, TILE_W)
+                dbc.append(jnp.sum(mask * proj, axis=0))
+            g0t = g0 + dbc[0]
+            g1t = g1 + dbc[1]
+            g2t = g2 + dbc[2]
+            gb = g0t * b0 + g1t * b1 + g2t * b2
+
+            for cc in range(3):  # coordinate in {x, y, w}
+                s_c = col(cc) + col(3 + cc) + col(6 + cc)
+                r_c = (g0t[None] * col(cc) + g1t[None] * col(3 + cc) +
+                       g2t[None] * col(6 + cc))
+                t_c = (s_c * gb[None] - r_c) * inv_det * mask
+                for k, bk in enumerate((b0, b1, b2)):  # corner
+                    val = bk[None] * t_c
+                    red = jnp.sum(jnp.sum(val, axis=2), axis=1,
+                                  keepdims=True)  # [C, 1]
+                    sl = (0, pl.ds(c * BWD_TRI_CHUNK, BWD_TRI_CHUNK),
+                          pl.ds(3 * k + cc, 1))
+                    dcorner_ref[sl] = dcorner_ref[sl] + red
+
+            # Attribute gradients: dattr_k[t, a] = sum_p mask*b_k * gattr.
+            for k, bkf in enumerate((b0f, b1f, b2f)):
+                mb = maskf * bkf  # [C, P]
+                part = jax.lax.dot_general(
+                    mb, gattrf, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [C, A]
+                sl = (0, pl.ds(c * BWD_TRI_CHUNK, BWD_TRI_CHUNK),
+                      pl.ds(k * a_pad, a_pad))
+                dattr_ref[sl] = dattr_ref[sl] + part
+            return 0
+
+        jax.lax.cond(jnp.any(hit), process, lambda _: 0, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+def _backward_fused(tri_data, attr_packed, triangles, vertex_count,
+                    attribute_count, ids, bc, df_dbc, df_dattr, row_offset,
+                    image_width, image_height, full_height, interpret):
+    """-> (df/d clip_vertices [B, V, 4], df/d attributes [B, V, A])."""
+    batch, n_tri_padded, _ = tri_data.shape
+    a3 = attr_packed.shape[-1]
+    a_pad = a3 // 3
+    grid = (batch, pl.cdiv(image_height, TILE_H),
+            pl.cdiv(image_width, TILE_W))
+    kernel = functools.partial(
+        _bwd_kernel_fused, image_width=image_width,
+        image_height=image_height, full_height=full_height,
+        n_tri_padded=n_tri_padded, a_pad=a_pad)
+    tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
+                             lambda b, i, j: (b, i, j),
+                             memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec((1, n_tri_padded, _COLS),
+                            lambda b, i, j: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    attr_in_spec = pl.BlockSpec((1, n_tri_padded, a3),
+                                lambda b, i, j: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    gattr_spec = pl.BlockSpec((1, a_pad, TILE_H, TILE_W),
+                              lambda b, i, j: (b, 0, i, j),
+                              memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((1, n_tri_padded, 9),
+                            lambda b, i, j: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dattr_spec = pl.BlockSpec((1, n_tri_padded, a3),
+                              lambda b, i, j: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+    row_off = jnp.asarray(row_offset, jnp.float32).reshape(1)
+
+    # Attribute cotangents: [B, H, W, A] -> padded [B, a_pad, H, W].
+    gattr = jnp.moveaxis(df_dattr, -1, 1)
+    gattr = jnp.pad(gattr,
+                    [(0, 0), (0, a_pad - gattr.shape[1]), (0, 0), (0, 0)])
+
+    dcorner, dattr_tab = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tri_spec,
+            attr_in_spec,
+        ] + [tile_spec] * 7 + [gattr_spec],
+        out_specs=[acc_spec, dattr_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, n_tri_padded, 9), jnp.float32),
+            jax.ShapeDtypeStruct((batch, n_tri_padded, a3), jnp.float32),
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(row_off, tri_data, attr_packed, ids, bc[..., 0], bc[..., 1],
+      bc[..., 2], df_dbc[..., 0], df_dbc[..., 1], df_dbc[..., 2], gattr)
+
+    tris = jnp.asarray(triangles, jnp.int32)
+    n_tri = tris.shape[0]
+    df_dvertices = jnp.zeros([batch, vertex_count, 4], jnp.float32)
+    df_dattributes = jnp.zeros([batch, vertex_count, attribute_count],
+                               jnp.float32)
+    for k in range(3):  # corner scatter: T-sized, vertex z stays zero
+        grads_xyw = dcorner[:, :n_tri, 3 * k:3 * k + 3]
+        updates = jnp.concatenate(
+            [grads_xyw[..., 0:2],
+             jnp.zeros([batch, n_tri, 1], jnp.float32),
+             grads_xyw[..., 2:3]], axis=-1)
+        df_dvertices = df_dvertices.at[:, tris[:, k]].add(updates)
+        attr_updates = dattr_tab[:, :n_tri,
+                                 k * a_pad:k * a_pad + attribute_count]
+        df_dattributes = df_dattributes.at[:, tris[:, k]].add(attr_updates)
+    return df_dvertices, df_dattributes
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _pallas_interp_core(clip_vertices, attributes, triangles, row_offset,
+                        image_width, image_height, full_height, interpret):
+    out, _ = _interp_fwd(clip_vertices, attributes, triangles, row_offset,
+                         image_width, image_height, full_height, interpret)
+    return out
+
+
+def _interp_fwd(clip_vertices, attributes, triangles, row_offset,
+                image_width, image_height, full_height, interpret):
+    tri_data = _pack_batched(clip_vertices, triangles)
+    a = attributes.shape[-1]
+    a_pad = _pad_attr_count(a)
+    attr_packed = _pack_corner_attributes(attributes, triangles, a_pad,
+                                          tri_data.shape[1])
+    ids, bc, z, attrs = _forward_fused(
+        tri_data, attr_packed, row_offset, image_width, image_height,
+        full_height, interpret)
+    attr_images = jnp.moveaxis(attrs, 1, -1)[..., :a]  # [B, H, W, A]
+    out = (ids, bc, attr_images)
+    residuals = (jax.lax.stop_gradient(tri_data),
+                 jax.lax.stop_gradient(attr_packed), triangles,
+                 clip_vertices.shape[1], a, ids, bc, row_offset)
+    return out, residuals
+
+
+def _interp_bwd(image_width, image_height, full_height, interpret,
+                residuals, cotangents):
+    (tri_data, attr_packed, triangles, vertex_count, attribute_count, ids,
+     bc, row_offset) = residuals
+    _, df_dbc, df_dattr = cotangents
+    df_dvertices, df_dattributes = _backward_fused(
+        tri_data, attr_packed, triangles, vertex_count, attribute_count,
+        ids, bc, df_dbc, df_dattr, row_offset, image_width, image_height,
+        full_height, interpret)
+    tri_cot = np.zeros(np.shape(triangles), dtype=jax.dtypes.float0)
+    row_cot = np.zeros((), dtype=jax.dtypes.float0)
+    return df_dvertices, df_dattributes, tri_cot, row_cot
+
+
+_pallas_interp_core.defvjp(_interp_fwd, _interp_bwd)
+
+
+def rasterize_interpolate_pallas_batched(clip_vertices, attributes,
+                                         triangles, image_width,
+                                         image_height, row_offset=None,
+                                         full_height=None, interpret=None):
+    """Fused differentiable rasterization + attribute interpolation.
+
+    Args:
+      clip_vertices: [batch, V, 4] f32 clip-space positions.
+      attributes: [batch, V, A] f32 per-vertex attributes.
+      triangles: [T, 3] i32.
+
+    Returns:
+      (ids [B, H, W] i32, barycentrics [B, H, W, 3] f32,
+       attribute_images [B, H, W, A] f32). Uncovered pixels have zero
+      barycentrics and zero attributes; alpha/background compositing
+      (rasterize.py:144-151 semantics) composes on top in plain XLA.
+      Gradients flow to clip_vertices (via the analytic barycentric chain,
+      no vertex-z gradient) and to attributes.
+    """
+    if full_height is None:
+        full_height = image_height
+    if row_offset is None:
+        row_offset = jnp.zeros((), jnp.int32)
+    return _pallas_interp_core(
+        clip_vertices, jnp.asarray(attributes, jnp.float32),
+        jnp.asarray(triangles, jnp.int32),
+        jnp.asarray(row_offset, jnp.int32), int(image_width),
+        int(image_height), int(full_height), _default_interpret(interpret))

@@ -47,10 +47,12 @@ from .barycentric import (DEGENERATE_BARYCENTRIC_CUTOFF,
 # VPU fed.
 TILE_H = 16
 TILE_W = 256
-# Triangles processed per inner step ([chunk, TILE_H, TILE_W] temporaries);
-# 16 measured fastest at 256^2 (fewer cull branches per tile).
-TRI_CHUNK = 16
-BWD_TRI_CHUNK = 16
+# Triangles processed per inner step ([chunk, TILE_H, TILE_W] temporaries).
+# 64 measured fastest for the fused interpolation kernels at 256^2-512^2
+# (the in-chunk [C, P] x [C, A] matmuls amortize better with larger K, and
+# fewer chunk iterations means fewer cull branches per tile).
+TRI_CHUNK = 64
+BWD_TRI_CHUNK = 64
 
 # Packed triangle-data columns (see _pack_triangle_data).
 _COLS = 21

@@ -85,3 +85,94 @@ def test_pallas_row_sharding_strips_match_full():
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(full_ids))
     np.testing.assert_allclose(np.asarray(bc), np.asarray(full_bc),
                                atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Fused rasterization + attribute interpolation
+# ---------------------------------------------------------------------------
+
+def _random_scene(seed=0, batch=2, vertex_count=24, tri_count=30,
+                  attr_count=9, width=48, height=40):
+    rng = np.random.RandomState(seed)
+    verts = jnp.asarray(rng.randn(batch, vertex_count, 3) * 0.5, jnp.float32)
+    tris = jnp.asarray(rng.randint(0, vertex_count, (tri_count, 3)),
+                       jnp.int32)
+    attrs = jnp.asarray(rng.randn(batch, vertex_count, attr_count),
+                        jnp.float32)
+    eye = jnp.tile(jnp.array([[0.0, 0.0, 3.0]]), (batch, 1))
+    center = jnp.zeros((batch, 3))
+    up = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (batch, 1))
+    cam = camera.clip_space_transforms(eye, center, up, 40.0, 0.01, 10.0,
+                                       width, height)
+    bg = jnp.asarray(rng.randn(attr_count), jnp.float32)
+    return verts, tris, attrs, cam, bg
+
+
+@pytest.mark.parametrize("attr_count", [3, 9, 16])
+def test_fused_interpolation_matches_xla(attr_count):
+    """Fused Pallas interp == XLA gather interp, fwd and both gradients."""
+    from pytorch_mesh_renderer_tpu import config as config_lib
+    from pytorch_mesh_renderer_tpu.ops import rasterize
+
+    width, height = 48, 40
+    verts, tris, attrs, cam, bg = _random_scene(attr_count=attr_count,
+                                                width=width, height=height)
+    cfg_x = config_lib.HardRasterizerConfig(backend="xla")
+    cfg_p = config_lib.HardRasterizerConfig(backend="pallas")
+
+    out_x = rasterize.rasterize(verts, attrs, tris, cam, width, height, bg,
+                                config=cfg_x)
+    out_p = rasterize.rasterize(verts, attrs, tris, cam, width, height, bg,
+                                config=cfg_p)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               atol=2e-5)
+
+    def loss(v, a, cfg):
+        img = rasterize.rasterize(v, a, tris, cam, width, height, bg,
+                                  config=cfg)
+        return jnp.sum(jnp.sin(img))
+
+    g_x = jax.grad(loss, argnums=(0, 1))(verts, attrs, cfg_x)
+    g_p = jax.grad(loss, argnums=(0, 1))(verts, attrs, cfg_p)
+    scale_v = float(jnp.max(jnp.abs(g_x[0]))) + 1e-6
+    scale_a = float(jnp.max(jnp.abs(g_x[1]))) + 1e-6
+    np.testing.assert_allclose(np.asarray(g_p[0]) / scale_v,
+                               np.asarray(g_x[0]) / scale_v, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_p[1]) / scale_a,
+                               np.asarray(g_x[1]) / scale_a, atol=1e-5)
+
+
+def test_fused_interpolation_row_sharded_strips():
+    """Fused path with row_offset strips reassembles the full image."""
+    from pytorch_mesh_renderer_tpu import config as config_lib
+    from pytorch_mesh_renderer_tpu.ops import rasterize
+
+    width, height = 48, 40
+    verts, tris, attrs, cam, bg = _random_scene(width=width, height=height)
+    cfg_p = config_lib.HardRasterizerConfig(backend="pallas")
+    full = rasterize.rasterize(verts, attrs, tris, cam, width, height, bg,
+                               config=cfg_p)
+    strip_h = height // 2
+    parts = [rasterize.rasterize(
+        verts, attrs, tris, cam, width, strip_h, bg, config=cfg_p,
+        row_offset=jnp.asarray(i * strip_h), full_height=height)
+        for i in range(2)]
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(parts, axis=1)), np.asarray(full),
+        atol=1e-6)
+
+
+def test_fused_interpolation_uncovered_pixels_are_background():
+    """Pixels no triangle covers take exactly the background value."""
+    from pytorch_mesh_renderer_tpu.ops.rasterize_pallas import (
+        rasterize_interpolate_pallas_batched)
+
+    width, height = 32, 24
+    verts, tris, attrs, cam, bg = _random_scene(width=width, height=height)
+    clip = camera.transform_homogeneous(cam, verts)
+    ids, bc, attr_img = rasterize_interpolate_pallas_batched(
+        clip, attrs, tris, width, height)
+    uncovered = np.asarray(jnp.sum(jnp.abs(bc), axis=-1)) == 0.0
+    assert uncovered.any(), "test scene should leave background pixels"
+    np.testing.assert_array_equal(
+        np.asarray(attr_img)[uncovered], 0.0)

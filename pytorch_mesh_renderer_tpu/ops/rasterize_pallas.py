@@ -706,6 +706,9 @@ def _bwd_kernel_fused(row_off_ref, tri_ref, attr_in_ref, id_ref, b0_ref,
     tile_id_max = jnp.max(jnp.max(jnp.where(active, ids, -1), axis=1),
                           axis=0)
 
+    # [P, 3] barycentric matrix shared by every chunk's corner reduction.
+    bmat = jnp.concatenate([b0f, b1f, b2f], axis=0)  # [3, P]
+
     n_chunks = n_tri_padded // BWD_TRI_CHUNK
 
     def chunk_body(c, _):
@@ -745,13 +748,16 @@ def _bwd_kernel_fused(row_off_ref, tri_ref, attr_in_ref, id_ref, b0_ref,
                 r_c = (g0t[None] * col(cc) + g1t[None] * col(3 + cc) +
                        g2t[None] * col(6 + cc))
                 t_c = (s_c * gb[None] - r_c) * inv_det * mask
-                for k, bk in enumerate((b0, b1, b2)):  # corner
-                    val = bk[None] * t_c
-                    red = jnp.sum(jnp.sum(val, axis=2), axis=1,
-                                  keepdims=True)  # [C, 1]
-                    sl = (0, pl.ds(c * BWD_TRI_CHUNK, BWD_TRI_CHUNK),
-                          pl.ds(3 * k + cc, 1))
-                    dcorner_ref[sl] = dcorner_ref[sl] + red
+                # All 3 corner reductions in one MXU matmul:
+                # red[t, k] = sum_p t_c[t, p] * b_k[p]. Table layout is
+                # (coord-major) column cc*3 + k.
+                red = jax.lax.dot_general(
+                    t_c.reshape(BWD_TRI_CHUNK, n_pix), bmat,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [C, 3]
+                sl = (0, pl.ds(c * BWD_TRI_CHUNK, BWD_TRI_CHUNK),
+                      pl.ds(cc * 3, 3))
+                dcorner_ref[sl] = dcorner_ref[sl] + red
 
             # Attribute gradients: dattr_k[t, a] = sum_p mask*b_k * gattr.
             for k, bkf in enumerate((b0f, b1f, b2f)):
@@ -832,7 +838,8 @@ def _backward_fused(tri_data, attr_packed, triangles, vertex_count,
     df_dattributes = jnp.zeros([batch, vertex_count, attribute_count],
                                jnp.float32)
     for k in range(3):  # corner scatter: T-sized, vertex z stays zero
-        grads_xyw = dcorner[:, :n_tri, 3 * k:3 * k + 3]
+        # Fused table layout is coord-major: column cc * 3 + k.
+        grads_xyw = dcorner[:, :n_tri, k::3]
         updates = jnp.concatenate(
             [grads_xyw[..., 0:2],
              jnp.zeros([batch, n_tri, 1], jnp.float32),

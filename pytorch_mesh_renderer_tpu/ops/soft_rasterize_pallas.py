@@ -50,7 +50,7 @@ from . import soft_rasterize as soft_xla
 
 TILE_H = 32
 TILE_W = 128
-# 16 measured slightly faster than 8 at 128^2 (fewer cull branches).
+# 16 measured fastest at 128^2 with the matmul column reductions.
 TRI_CHUNK = 16
 _COLS = 53
 EPS = soft_xla.EPS
@@ -379,9 +379,24 @@ def _bwd_kernel(params_ref, lights_ref, tri_ref, max_ref, sumw_ref, sil_ref,
     bg = jnp.maximum(jnp.exp(EPS / gamma - run_max), EPS)
     inv_total = (1.0 / (sum_w + bg))[None]  # [1, TH, TW]
 
+    n_pix = TILE_H * TILE_W
+    ones_pix = jnp.ones((1, n_pix), jnp.float32)
+    # [3, P] basis for the inside-barycentric block: cb is linear in
+    # (px, py, 1), so its three column sums are one [C, P] x [P, 3] matmul.
+    pxy1 = jnp.concatenate(
+        [px.reshape(1, n_pix), py.reshape(1, n_pix), ones_pix], axis=0)
+
     def acc(c, colidx, val):
-        """Accumulate sum-over-pixels of val [C, TH, TW] into column."""
-        red = jnp.sum(jnp.sum(val, axis=2), axis=1, keepdims=True)  # [C, 1]
+        """Accumulate sum-over-pixels of val [C, TH, TW] into column.
+
+        The reduction runs as a [C, P] x [P, 1] dot (MXU) instead of a
+        two-stage VPU sum tree — measurably faster with ~45 reductions per
+        chunk.
+        """
+        red = jax.lax.dot_general(
+            val.reshape(TRI_CHUNK, n_pix), ones_pix,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [C, 1]
         sl = (0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), pl.ds(colidx, 1))
         ddata_ref[sl] = ddata_ref[sl] + red
 
@@ -508,13 +523,18 @@ def _bwd_kernel(params_ref, lights_ref, tri_ref, max_ref, sumw_ref, sil_ref,
             acc(c, 19, -dow1 * q["cb1"] / (w1 * w1))
             acc(c, 20, -dow2 * q["cb2"] / (w2 * w2))
 
-            # inside: cb == screen barycentrics (linear in px, py, 1).
+            # inside: cb == screen barycentrics (linear in px, py, 1), so
+            # the (g*px, g*py, g) column sums collapse to one matmul
+            # against the [3, P] (px, py, 1) basis.
             ins = q["inside"].astype(jnp.float32)
             for i, dcb in enumerate((dcb0, dcb1, dcb2)):
-                g = dcb * ins
-                acc(c, 3 * i + 0, g * px)
-                acc(c, 3 * i + 1, g * py)
-                acc(c, 3 * i + 2, g)
+                g = (dcb * ins).reshape(TRI_CHUNK, n_pix)
+                red = jax.lax.dot_general(
+                    g, pxy1, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [C, 3]
+                sl = (0, pl.ds(c * TRI_CHUNK, TRI_CHUNK),
+                      pl.ds(3 * i, 3))
+                ddata_ref[sl] = ddata_ref[sl] + red
 
             # outside: cb from the picked edge's t.
             outs = 1.0 - ins

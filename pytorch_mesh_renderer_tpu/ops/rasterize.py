@@ -113,11 +113,6 @@ def rasterize_clip_space(clip_space_vertices, attributes, triangles,
                 clip_space_vertices, jnp.asarray(attributes, jnp.float32),
                 tris, image_width, image_height,
                 row_offset=row_offset, full_height=full_height))
-        alphas = jnp.clip(
-            jnp.sum(2.0 * px_barycentric, axis=-1), 0.0, 1.0)[..., None]
-        background_value = jnp.asarray(background_value, jnp.float32)
-        return (alphas * attribute_images +
-                (1.0 - alphas) * background_value)
     else:
         def kernel(verts):
             return rasterize_barycentric(
@@ -127,15 +122,15 @@ def rasterize_clip_space(clip_space_vertices, attributes, triangles,
         px_triangle_ids, px_barycentric, _ = jax.vmap(kernel)(
             clip_space_vertices)
 
-    corner_ids = tris[px_triangle_ids]  # [B, H, W, 3]
-    # Interpolate corner-by-corner instead of materializing the
-    # [B, H, W, 3, A] gather: a 9-wide minor dimension lane-pads 14x on TPU,
-    # which at 512^2 x large batches is gigabytes of wasted HBM.
-    gather = jax.vmap(lambda attr, ids: attr[ids])
-    attribute_images = sum(
-        gather(attributes, corner_ids[..., k]) *
-        px_barycentric[..., k:k + 1]
-        for k in range(3))  # [B, H, W, A]
+        corner_ids = tris[px_triangle_ids]  # [B, H, W, 3]
+        # Interpolate corner-by-corner instead of materializing the
+        # [B, H, W, 3, A] gather: a 9-wide minor dimension lane-pads 14x on
+        # TPU, which at 512^2 x large batches is gigabytes of wasted HBM.
+        gather = jax.vmap(lambda attr, ids: attr[ids])
+        attribute_images = sum(
+            gather(attributes, corner_ids[..., k]) *
+            px_barycentric[..., k:k + 1]
+            for k in range(3))  # [B, H, W, A]
 
     alphas = jnp.clip(
         jnp.sum(2.0 * px_barycentric, axis=-1), 0.0, 1.0)[..., None]

@@ -1,4 +1,4 @@
-"""Hard barycentric rasterizer — tiled Pallas TPU kernel.
+"""Hard barycentric rasterizer — tiled Pallas TPU kernels.
 
 TPU-native replacement for the reference's native C++ kernel
 (/root/reference/src/mesh_renderer/kernels/rasterize_triangles.cpp:302-419).
@@ -20,12 +20,32 @@ per-triangle coefficient rows through a chunked loop:
     entirely (`lax.cond`), the tiled analogue of SURVEY.md §5's "per-tile
     triangle binning".
 
-The backward pass reuses the closed-form analytic gradient of
-rasterize_xla._backward (cpp:131-273 semantics: barycentric-sum cutoff 0.9,
-no gradient to vertex z), which is a gather + elementwise + scatter-add
-that XLA already emits efficiently.
+Two kernel pairs share the chunk math (`_rasterize_chunk_core`,
+`_bwd_chunk_core`):
 
-The kernel runs compiled on TPU and in interpreter mode elsewhere (so the
+  * the *barycentric* kernels (`rasterize_barycentric_pallas*`) reproduce
+    the reference kernel contract exactly — (ids, barycentrics, z) with an
+    analytic backward to clip vertices (cpp:131-273 semantics: bc-sum
+    cutoff 0.9, no gradient to vertex z);
+  * the *fused* kernels (`rasterize_interpolate_pallas_batched`)
+    additionally interpolate per-vertex attributes inside the tile loop.
+    The unfused pipeline (kernel -> XLA gather of corner attributes ->
+    barycentric sum; backward = pixel-count-sized scatter into [B, V, A])
+    costs more than rasterization itself on TPU because per-pixel
+    gathers/scatters do not vectorize. Fused, corner attributes are
+    gathered ONCE per triangle at pack time ([B, T, 3*A], a T-sized
+    gather), streamed through VMEM next to the triangle table, and
+    combined with the per-chunk winner mask as [C, A] x [C, P] MXU matmuls
+    (P = pixels per tile). The backward similarly reduces per-pixel
+    attribute cotangents to a per-triangle [T, 3*A] table, leaving only a
+    T-sized scatter on the host side.
+
+Backward gradient tables are **coordinate-major** ([T_pad, 9] column
+cc * 3 + k for coordinate cc of corner k), so each coordinate's three
+corner sums come out of one [C, P] x [P, 3] MXU matmul against the
+stacked barycentric images.
+
+The kernels run compiled on TPU and in interpreter mode elsewhere (so the
 same semantics are testable on the CPU CI mesh).
 """
 
@@ -48,18 +68,29 @@ from .barycentric import (DEGENERATE_BARYCENTRIC_CUTOFF,
 TILE_H = 16
 TILE_W = 256
 # Triangles processed per inner step ([chunk, TILE_H, TILE_W] temporaries).
-# 64 measured fastest for the fused interpolation kernels at 256^2-512^2
-# (the in-chunk [C, P] x [C, A] matmuls amortize better with larger K, and
-# fewer chunk iterations means fewer cull branches per tile).
-TRI_CHUNK = 64
-BWD_TRI_CHUNK = 64
+# The fused kernels run fastest at 64 (the in-chunk MXU matmuls amortize
+# better with larger K and fewer cull branches); the barycentric-only
+# kernels — which have no matmuls in the forward — measured fastest at 16.
+TRI_CHUNK = 16
+BWD_TRI_CHUNK = 16
+FUSED_TRI_CHUNK = 64
+FUSED_BWD_TRI_CHUNK = 64
+
+# In-kernel dot precision. These dots feed rendered images and analytic
+# gradients, so precision was checked explicitly on TPU v5e: with DEFAULT,
+# fused-vs-XLA-spec parity measures 4.2e-6 max abs fwd error and ~7e-7 max
+# relative gradient error — identical to HIGHEST (the contractions select
+# one winner row, so low-order mantissa bits of the f32 decomposition don't
+# accumulate). HIGHEST costs ~1.8x end-to-end (bf16x6 passes), so DEFAULT
+# is correct here. tests/test_rasterize_pallas.py pins the parity.
+_DOT_PRECISION = jax.lax.Precision.DEFAULT
 
 # Packed triangle-data columns (see _pack_triangle_data).
 _COLS = 21
 
 
-def _pack_triangle_data(clip_vertices, triangles):
-    """Precomputes per-triangle rasterization data as one [T_pad, 20] array.
+def _pack_triangle_data(clip_vertices, triangles, chunk):
+    """Precomputes per-triangle rasterization data as one [T_pad, 21] array.
 
     Columns: 0-8 sign-corrected adjugate rows (edge coefficients a,b,c per
     edge), 9-11 vertex clip z, 12-14 vertex clip w, 15 liveness (0 when all
@@ -97,10 +128,96 @@ def _pack_triangle_data(clip_vertices, triangles):
     ], axis=-1)  # [T, 21]
 
     t = data.shape[0]
-    pad = (-t) % TRI_CHUNK
+    pad = (-t) % chunk
     if pad:
         data = jnp.pad(data, [(0, pad), (0, 0)])  # padded rows: live=0
     return data
+
+
+def _tile_pixel_coords(ti, tj, row_off, image_width, full_height):
+    """NDC coordinates of this tile's pixel centers (row 0 = NDC bottom,
+    cpp:376-377). row_off shifts rows when the image is row-sharded."""
+    rows = (jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+        + ti * TILE_H + row_off)
+    cols = (jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+        + tj * TILE_W)
+    py = (rows + 0.5) * (2.0 / full_height) - 1.0
+    px = (cols + 0.5) * (2.0 / image_width) - 1.0
+    return px, py
+
+
+def _tile_ndc_bounds(ti, tj, row_off, image_width, full_height):
+    tile_min_x = (tj * TILE_W) * (2.0 / image_width) - 1.0
+    tile_max_x = ((tj + 1) * TILE_W) * (2.0 / image_width) - 1.0
+    tile_min_y = (ti * TILE_H + row_off) * (2.0 / full_height) - 1.0
+    tile_max_y = (((ti + 1) * TILE_H + row_off)
+                  * (2.0 / full_height) - 1.0)
+    return tile_min_x, tile_max_x, tile_min_y, tile_max_y
+
+
+def _chunk_hits_tile(data, bounds):
+    """Chunk-level bbox cull: any triangle's NDC bbox overlaps the tile?"""
+    tile_min_x, tile_max_x, tile_min_y, tile_max_y = bounds
+    hit = ((data[:, 16] <= tile_max_x) & (data[:, 17] >= tile_min_x) &
+           (data[:, 18] <= tile_max_y) & (data[:, 19] >= tile_min_y) &
+           (data[:, 15] > 0.0))
+    return jnp.any(hit)
+
+
+def _rasterize_chunk_core(data, px, py, chunk, chunk_start):
+    """Shared per-chunk rasterization math (cpp:330-410 semantics).
+
+    Args:
+      data: [chunk, 21] packed triangle rows.
+      px, py: [TILE_H, TILE_W] pixel-center NDC coordinates.
+      chunk_start: triangle index of data row 0.
+
+    Returns:
+      (chunk_z [TH, TW], chunk_id [TH, TW] i32 — -1 where no triangle in
+       this chunk covers the pixel, w0/w1/w2 [chunk, TH, TW] — barycentrics
+       masked to the per-pixel winning row, zero elsewhere).
+    """
+
+    def col(k):  # [chunk, 1, 1] broadcastable column
+        return data[:, k].reshape(chunk, 1, 1)
+
+    e0 = col(0) * px + col(1) * py + col(2)  # [chunk, TH, TW]
+    e1 = col(3) * px + col(4) * py + col(5)
+    e2 = col(6) * px + col(7) * py + col(8)
+    inside = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) &
+              ((e0 > 0.0) | (e1 > 0.0) | (e2 > 0.0)))
+    sum_e = e0 + e1 + e2
+    inv_sum = 1.0 / jnp.where(sum_e != 0.0, sum_e, 1.0)
+    b0 = e0 * inv_sum
+    b1 = e1 * inv_sum
+    b2 = e2 * inv_sum
+    clip_z = b0 * col(9) + b1 * col(10) + b2 * col(11)
+    clip_w = b0 * col(12) + b1 * col(13) + b2 * col(14)
+    z = clip_z / jnp.where(clip_w != 0.0, clip_w, 1.0)
+    valid = (inside & (col(15) > 0.0) & (z >= -1.0) & (z <= 1.0))
+
+    tri_ids = (chunk_start
+               + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0))
+    z_masked = jnp.where(valid, z, 2.0)
+    chunk_z = jnp.min(z_masked, axis=0)  # [TH, TW]
+    at_min = valid & (z_masked == chunk_z[None])
+    chunk_id = jnp.max(jnp.where(at_min, tri_ids, -1), axis=0)  # [TH, TW]
+    winner = at_min & (tri_ids == chunk_id[None])
+    wf = winner.astype(jnp.float32)
+    return chunk_z, chunk_id, wf * b0, wf * b1, wf * b2
+
+
+def _merge_better(chunk_z, chunk_id, best_z, best_id):
+    """Carry-merge predicate: smaller z wins, ties to the later triangle."""
+    return ((chunk_z < best_z) |
+            ((chunk_z == best_z) & (chunk_id > best_id)))
+
+
+# ---------------------------------------------------------------------------
+# Barycentric-only kernels (reference kernel contract: ids, bc, z)
+# ---------------------------------------------------------------------------
 
 
 def _kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref, z_ref, *,
@@ -109,83 +226,29 @@ def _kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref, z_ref, *,
     # the whole mesh batch renders in ONE pallas_call (no vmap).
     ti = pl.program_id(1)
     tj = pl.program_id(2)
-
-    # NDC coordinates of this tile's pixel centers (row 0 = NDC bottom,
-    # cpp:376-377). row_off shifts rows when the image is row-sharded.
-    rows = (jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
-        + ti * TILE_H + row_off_ref[0])
-    cols = (jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-        + tj * TILE_W)
-    py = (rows + 0.5) * (2.0 / full_height) - 1.0
-    px = (cols + 0.5) * (2.0 / image_width) - 1.0
-
-    # Tile bounds in NDC for chunk culling (half-pixel slack).
-    tile_min_x = (tj * TILE_W) * (2.0 / image_width) - 1.0
-    tile_max_x = ((tj + 1) * TILE_W) * (2.0 / image_width) - 1.0
-    tile_min_y = (ti * TILE_H + row_off_ref[0]) * (2.0 / full_height) - 1.0
-    tile_max_y = (((ti + 1) * TILE_H + row_off_ref[0])
-                  * (2.0 / full_height) - 1.0)
-
+    px, py = _tile_pixel_coords(ti, tj, row_off_ref[0], image_width,
+                                full_height)
+    bounds = _tile_ndc_bounds(ti, tj, row_off_ref[0], image_width,
+                              full_height)
     n_chunks = n_tri_padded // TRI_CHUNK
 
     def chunk_body(c, carry):
-        best_z, best_id, best_b0, best_b1, best_b2 = carry
         data = tri_ref[0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]  # [C, 21]
-
-        # Chunk-level bbox cull: skip when no triangle overlaps the tile.
-        hit = ((data[:, 16] <= tile_max_x) & (data[:, 17] >= tile_min_x) &
-               (data[:, 18] <= tile_max_y) & (data[:, 19] >= tile_min_y) &
-               (data[:, 15] > 0.0))
-        any_hit = jnp.any(hit)
 
         def rasterize_chunk(carry):
             best_z, best_id, best_b0, best_b1, best_b2 = carry
-
-            def col(k):  # [C, 1, 1] broadcastable column
-                return data[:, k].reshape(TRI_CHUNK, 1, 1)
-
-            e0 = col(0) * px + col(1) * py + col(2)  # [C, TH, TW]
-            e1 = col(3) * px + col(4) * py + col(5)
-            e2 = col(6) * px + col(7) * py + col(8)
-            inside = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) &
-                      ((e0 > 0.0) | (e1 > 0.0) | (e2 > 0.0)))
-            sum_e = e0 + e1 + e2
-            inv_sum = 1.0 / jnp.where(sum_e != 0.0, sum_e, 1.0)
-            b0 = e0 * inv_sum
-            b1 = e1 * inv_sum
-            b2 = e2 * inv_sum
-            clip_z = b0 * col(9) + b1 * col(10) + b2 * col(11)
-            clip_w = b0 * col(12) + b1 * col(13) + b2 * col(14)
-            z = clip_z / jnp.where(clip_w != 0.0, clip_w, 1.0)
-            valid = (inside & (col(15) > 0.0) & (z >= -1.0) & (z <= 1.0))
-
-            tri_ids = (c * TRI_CHUNK
-                       + jax.lax.broadcasted_iota(
-                           jnp.int32, (TRI_CHUNK, 1, 1), 0))
-            z_masked = jnp.where(valid, z, 2.0)
-            chunk_z = jnp.min(z_masked, axis=0)  # [TH, TW]
-            at_min = valid & (z_masked == chunk_z[None])
-            chunk_id = jnp.max(
-                jnp.where(at_min, tri_ids, -1), axis=0)  # [TH, TW]
-            winner = at_min & (tri_ids == chunk_id[None])
-            wf = winner.astype(jnp.float32)
-            chunk_b0 = jnp.sum(wf * b0, axis=0)
-            chunk_b1 = jnp.sum(wf * b1, axis=0)
-            chunk_b2 = jnp.sum(wf * b2, axis=0)
-
-            better = ((chunk_z < best_z) |
-                      ((chunk_z == best_z) & (chunk_id > best_id)))
+            chunk_z, chunk_id, w0, w1, w2 = _rasterize_chunk_core(
+                data, px, py, TRI_CHUNK, c * TRI_CHUNK)
+            better = _merge_better(chunk_z, chunk_id, best_z, best_id)
             best_z = jnp.where(better, chunk_z, best_z)
             best_id = jnp.where(better, chunk_id, best_id)
-            best_b0 = jnp.where(better, chunk_b0, best_b0)
-            best_b1 = jnp.where(better, chunk_b1, best_b1)
-            best_b2 = jnp.where(better, chunk_b2, best_b2)
+            best_b0 = jnp.where(better, jnp.sum(w0, axis=0), best_b0)
+            best_b1 = jnp.where(better, jnp.sum(w1, axis=0), best_b1)
+            best_b2 = jnp.where(better, jnp.sum(w2, axis=0), best_b2)
             return best_z, best_id, best_b0, best_b1, best_b2
 
-        return jax.lax.cond(any_hit, rasterize_chunk, lambda cr: cr,
-                            (best_z, best_id, best_b0, best_b1, best_b2))
+        return jax.lax.cond(_chunk_hits_tile(data, bounds), rasterize_chunk,
+                            lambda cr: cr, carry)
 
     zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     init = (jnp.ones((TILE_H, TILE_W), jnp.float32),
@@ -201,7 +264,10 @@ def _kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref, z_ref, *,
     z_ref[0] = best_z
 
 
-_pack_batched = jax.vmap(_pack_triangle_data, in_axes=(0, None))
+def _pack_batched(clip_vertices, triangles, chunk):
+    return jax.vmap(
+        lambda cv: _pack_triangle_data(cv, triangles, chunk))(clip_vertices)
+
 
 # Narrow tables ([T, 21] input, [T, 9] gradient blocks) lane-pad to 128 in
 # VMEM; at 10k+ triangles that exceeds the conservative default scoped
@@ -248,29 +314,16 @@ def _forward_from_packed(tri_data, row_offset, image_width, image_height,
     return ids, bc, jnp.where(z > 1.0, 1.0, z)
 
 
-def _bwd_kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
-                g0_ref, g1_ref, g2_ref, dcorner_ref, *, image_width,
-                image_height, full_height, n_tri_padded):
-    """Analytic backward (cpp:131-273 chain) as a per-tile reduction.
+def _bwd_tile_inputs(ti, tj, id_ref, b0_ref, b1_ref, b2_ref, g0_ref, g1_ref,
+                     g2_ref, image_width, image_height):
+    """Masked per-tile residuals/cotangents + winner-id chunk-cull range.
 
-    For each tile, stream triangle chunks; pixels whose winning id matches a
-    chunk triangle contribute b_k * (s_c * <g, b> - sum_i g_i m_inv[i, c])
-    / |det| to that triangle's corner-k coordinate-c gradient (the closed
-    form of the reference's 27-term accumulation, see rasterize_xla). The
-    per-(triangle, corner, coord) sums accumulate into a per-batch-element
-    [T_pad, 9] table (revisited across this batch element's consecutive
-    tile steps); the host-side scatter into [V, 4] is then T-sized instead
-    of (H * W * 3)-sized.
+    Boundary tiles are padded with uninitialized memory; mask it out or
+    garbage ids/cotangents would contribute to the sums. Returns the
+    degenerate-pixel mask (cpp:162-164: id 0 with barycentric sum below the
+    cutoff is background) and the [min, max] winner-id range used to skip
+    chunks no pixel in this tile references.
     """
-    ti = pl.program_id(1)
-    tj = pl.program_id(2)
-
-    @pl.when((ti == 0) & (tj == 0))
-    def _init():
-        dcorner_ref[:] = jnp.zeros_like(dcorner_ref)
-
-    # Boundary tiles are padded with uninitialized memory; mask it out or
-    # garbage ids/cotangents would contribute to the sums.
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
     pix_ok = ((row_idx + ti * TILE_H < image_height) &
@@ -284,18 +337,72 @@ def _bwd_kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
     g1 = jnp.where(pix_ok, g1_ref[0], 0.0)
     g2 = jnp.where(pix_ok, g2_ref[0], 0.0)
 
-    # Degenerate-pixel skip (cpp:162-164): id 0 with barycentric sum below
-    # the cutoff is background.
     active = ~((ids == 0) &
                (b0 + b1 + b2 < DEGENERATE_BARYCENTRIC_CUTOFF))
-    gb = g0 * b0 + g1 * b1 + g2 * b2
-
-    # Chunk culling by winner-id range: only triangles that actually won a
-    # pixel in this tile can receive gradient, and those ids span few chunks.
     masked_ids = jnp.where(active, ids, jnp.iinfo(jnp.int32).max)
     tile_id_min = jnp.min(jnp.min(masked_ids, axis=1), axis=0)
     tile_id_max = jnp.max(jnp.max(jnp.where(active, ids, -1), axis=1),
                           axis=0)
+    return (pix_ok, ids, b0, b1, b2, g0, g1, g2, active, tile_id_min,
+            tile_id_max)
+
+
+def _bwd_chunk_core(data, mask, g0t, g1t, g2t, gb, bmat, chunk, n_pix,
+                    dcorner_ref, c):
+    """Analytic vertex-gradient chain for one chunk (cpp:131-273).
+
+    Pixels whose winning id matches a chunk triangle contribute
+    b_k * (s_c * <g, b> - sum_i g_i m_inv[i, c]) / |det| to that triangle's
+    corner-k coordinate-c gradient (the closed form of the reference's
+    27-term accumulation, see rasterize_xla). Each coordinate's three
+    corner sums run as one [C, P] x [P, 3] matmul against `bmat` (the
+    stacked barycentric images); the result accumulates into the
+    coordinate-major [T_pad, 9] table (column cc * 3 + k).
+    """
+
+    def col(k):
+        return data[:, k].reshape(chunk, 1, 1)
+
+    inv_det = col(20)
+    for cc in range(3):  # coordinate in {x, y, w}
+        s_c = col(cc) + col(3 + cc) + col(6 + cc)
+        r_c = (g0t[None] * col(cc) + g1t[None] * col(3 + cc) +
+               g2t[None] * col(6 + cc))
+        t_c = (s_c * gb[None] - r_c) * inv_det * mask
+        red = jax.lax.dot_general(
+            t_c.reshape(chunk, n_pix), bmat,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_DOT_PRECISION)  # [C, 3]
+        sl = (0, pl.ds(c * chunk, chunk), pl.ds(cc * 3, 3))
+        dcorner_ref[sl] = dcorner_ref[sl] + red
+
+
+def _bwd_kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
+                g0_ref, g1_ref, g2_ref, dcorner_ref, *, image_width,
+                image_height, full_height, n_tri_padded):
+    """Analytic backward as a per-tile reduction to a [T_pad, 9] table.
+
+    The per-(triangle, corner, coord) sums accumulate per batch element
+    (revisited across this batch element's consecutive tile steps); the
+    host-side scatter into [V, 4] is then T-sized instead of
+    (H * W * 3)-sized.
+    """
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    n_pix = TILE_H * TILE_W
+
+    @pl.when((ti == 0) & (tj == 0))
+    def _init():
+        dcorner_ref[:] = jnp.zeros_like(dcorner_ref)
+
+    (_, ids, b0, b1, b2, g0, g1, g2, active, tile_id_min,
+     tile_id_max) = _bwd_tile_inputs(
+         ti, tj, id_ref, b0_ref, b1_ref, b2_ref, g0_ref, g1_ref, g2_ref,
+         image_width, image_height)
+    gb = g0 * b0 + g1 * b1 + g2 * b2
+    bmat = jnp.concatenate([b0.reshape(1, n_pix), b1.reshape(1, n_pix),
+                            b2.reshape(1, n_pix)], axis=0)  # [3, P]
 
     n_chunks = n_tri_padded // BWD_TRI_CHUNK
 
@@ -305,32 +412,32 @@ def _bwd_kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
 
         def process(_):
             data = tri_ref[0, pl.ds(c * BWD_TRI_CHUNK, BWD_TRI_CHUNK), :]
-
-            def col(k):
-                return data[:, k].reshape(BWD_TRI_CHUNK, 1, 1)
-
             tid = (c * BWD_TRI_CHUNK + jax.lax.broadcasted_iota(
                 jnp.int32, (BWD_TRI_CHUNK, 1, 1), 0))
             mask = ((ids[None] == tid) & active[None]).astype(jnp.float32)
-            inv_det = col(20)
-            for cc in range(3):  # coordinate in {x, y, w}
-                s_c = col(cc) + col(3 + cc) + col(6 + cc)
-                r_c = (g0[None] * col(cc) + g1[None] * col(3 + cc) +
-                       g2[None] * col(6 + cc))
-                t_c = (s_c * gb[None] - r_c) * inv_det * mask
-                for k, bk in enumerate((b0, b1, b2)):  # corner
-                    val = bk[None] * t_c
-                    red = jnp.sum(jnp.sum(val, axis=2), axis=1,
-                                  keepdims=True)  # [C, 1]
-                    sl = (0, pl.ds(c * BWD_TRI_CHUNK, BWD_TRI_CHUNK),
-                          pl.ds(3 * k + cc, 1))
-                    dcorner_ref[sl] = dcorner_ref[sl] + red
+            _bwd_chunk_core(data, mask, g0, g1, g2, gb, bmat,
+                            BWD_TRI_CHUNK, n_pix, dcorner_ref, c)
             return 0
 
         jax.lax.cond(jnp.any(hit), process, lambda _: 0, 0)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+def _scatter_corner_grads(dcorner, triangles, batch, vertex_count):
+    """Coord-major [B, T_pad, 9] table -> df/d(clip vertices) [B, V, 4]."""
+    tris = jnp.asarray(triangles, jnp.int32)
+    n_tri = tris.shape[0]
+    df_dvertices = jnp.zeros([batch, vertex_count, 4], jnp.float32)
+    for k in range(3):  # corner scatter: T-sized, vertex z stays zero
+        grads_xyw = dcorner[:, :n_tri, k::3]
+        updates = jnp.concatenate(
+            [grads_xyw[..., 0:2],
+             jnp.zeros([batch, n_tri, 1], jnp.float32),
+             grads_xyw[..., 2:3]], axis=-1)
+        df_dvertices = df_dvertices.at[:, tris[:, k]].add(updates)
+    return df_dvertices
 
 
 def _backward_pallas(tri_data, triangles, vertex_count, ids, bc, df_dbc,
@@ -368,31 +475,20 @@ def _backward_pallas(tri_data, triangles, vertex_count, ids, bc, df_dbc,
         interpret=interpret,
     )(row_off, tri_data, ids, bc[..., 0], bc[..., 1], bc[..., 2],
       df_dbc[..., 0], df_dbc[..., 1], df_dbc[..., 2])[0]
-
-    tris = jnp.asarray(triangles, jnp.int32)
-    n_tri = tris.shape[0]
-    df_dvertices = jnp.zeros([batch, vertex_count, 4], jnp.float32)
-    for k in range(3):  # corner scatter: T-sized, z column stays zero
-        grads_xyw = dcorner[:, :n_tri, 3 * k:3 * k + 3]
-        updates = jnp.concatenate(
-            [grads_xyw[..., 0:2],
-             jnp.zeros([batch, n_tri, 1], jnp.float32),
-             grads_xyw[..., 2:3]], axis=-1)
-        df_dvertices = df_dvertices.at[:, tris[:, k]].add(updates)
-    return df_dvertices
+    return _scatter_corner_grads(dcorner, triangles, batch, vertex_count)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _pallas_core(clip_vertices, triangles, row_offset, image_width,
                  image_height, full_height, interpret):
-    tri_data = _pack_batched(clip_vertices, triangles)
+    tri_data = _pack_batched(clip_vertices, triangles, TRI_CHUNK)
     return _forward_from_packed(tri_data, row_offset, image_width,
                                 image_height, full_height, interpret)
 
 
 def _fwd(clip_vertices, triangles, row_offset, image_width, image_height,
          full_height, interpret):
-    tri_data = _pack_batched(clip_vertices, triangles)
+    tri_data = _pack_batched(clip_vertices, triangles, TRI_CHUNK)
     out = _forward_from_packed(tri_data, row_offset, image_width,
                                image_height, full_height, interpret)
     ids, bc, _ = out
@@ -464,22 +560,6 @@ def rasterize_barycentric_pallas(clip_vertices, triangles, image_width,
 # ---------------------------------------------------------------------------
 # Fused rasterization + attribute interpolation
 # ---------------------------------------------------------------------------
-# The unfused pipeline (kernel -> XLA gather of [B,H,W,3] corner attributes
-# -> barycentric sum; backward = pixel-count-sized scatter-add into [B,V,A])
-# costs more than the rasterizer itself on TPU: gathers/scatters at
-# per-pixel granularity do not vectorize. Here interpolation happens inside
-# the tile kernels: corner attributes are gathered ONCE per triangle at pack
-# time ([B, T, 3*A], a T-sized gather), streamed through VMEM next to the
-# triangle table, and combined with the per-chunk winner mask as [C, P] x
-# [C, A] MXU matmuls (P = pixels per tile). The backward similarly reduces
-# per-pixel attribute cotangents to a per-triangle [T, 3*A] table with two
-# matmuls per chunk, leaving only a T-sized scatter on the host side —
-# mirroring the [T, 9] corner-gradient table of the unfused backward.
-#
-# Reference semantics preserved: attribute images equal
-# sum_k b_k * attr[corner_k(winner)] (rasterize.py:130-141), gradients flow
-# to both vertices and attributes, and the alpha/background composite stays
-# outside the kernel (XLA fuses it).
 
 
 def _pad_attr_count(attribute_count):
@@ -496,122 +576,77 @@ def _pack_corner_attributes(attributes, triangles, a_pad, n_tri_padded):
 
 
 def _kernel_fused(row_off_ref, tri_ref, attr_in_ref, id_ref, b0_ref, b1_ref,
-                  b2_ref, z_ref, attr_ref, *, image_width, image_height,
+                  b2_ref, attr_ref, *, image_width, image_height,
                   full_height, n_tri_padded, a_pad):
     """Forward tile kernel with in-tile attribute interpolation.
 
     Same rasterization loop as _kernel plus a flat [a_pad, P] attribute
     carry: each chunk's winning triangles contribute
     sum_k (winner * b_k) @ corner_attrs_k via MXU matmuls, and the carry
-    keeps the value from whichever chunk currently wins the z-test.
+    keeps the value from whichever chunk currently wins the z-test. The
+    z-buffer lives only in the carry (no HBM output — the fused contract
+    has no z consumer).
     """
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     n_pix = TILE_H * TILE_W
-
-    rows = (jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
-        + ti * TILE_H + row_off_ref[0])
-    cols = (jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-        + tj * TILE_W)
-    py = (rows + 0.5) * (2.0 / full_height) - 1.0
-    px = (cols + 0.5) * (2.0 / image_width) - 1.0
-
-    tile_min_x = (tj * TILE_W) * (2.0 / image_width) - 1.0
-    tile_max_x = ((tj + 1) * TILE_W) * (2.0 / image_width) - 1.0
-    tile_min_y = (ti * TILE_H + row_off_ref[0]) * (2.0 / full_height) - 1.0
-    tile_max_y = (((ti + 1) * TILE_H + row_off_ref[0])
-                  * (2.0 / full_height) - 1.0)
-
-    n_chunks = n_tri_padded // TRI_CHUNK
+    chunk = FUSED_TRI_CHUNK
+    px, py = _tile_pixel_coords(ti, tj, row_off_ref[0], image_width,
+                                full_height)
+    bounds = _tile_ndc_bounds(ti, tj, row_off_ref[0], image_width,
+                              full_height)
+    n_chunks = n_tri_padded // chunk
 
     def chunk_body(c, carry):
-        data = tri_ref[0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]  # [C, 21]
-        hit = ((data[:, 16] <= tile_max_x) & (data[:, 17] >= tile_min_x) &
-               (data[:, 18] <= tile_max_y) & (data[:, 19] >= tile_min_y) &
-               (data[:, 15] > 0.0))
+        data = tri_ref[0, pl.ds(c * chunk, chunk), :]  # [C, 21]
 
         def rasterize_chunk(carry):
             best_z, best_id, best_b0, best_b1, best_b2, best_attr = carry
+            chunk_z, chunk_id, w0, w1, w2 = _rasterize_chunk_core(
+                data, px, py, chunk, c * chunk)
 
-            def col(k):
-                return data[:, k].reshape(TRI_CHUNK, 1, 1)
-
-            e0 = col(0) * px + col(1) * py + col(2)
-            e1 = col(3) * px + col(4) * py + col(5)
-            e2 = col(6) * px + col(7) * py + col(8)
-            inside = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) &
-                      ((e0 > 0.0) | (e1 > 0.0) | (e2 > 0.0)))
-            sum_e = e0 + e1 + e2
-            inv_sum = 1.0 / jnp.where(sum_e != 0.0, sum_e, 1.0)
-            b0 = e0 * inv_sum
-            b1 = e1 * inv_sum
-            b2 = e2 * inv_sum
-            clip_z = b0 * col(9) + b1 * col(10) + b2 * col(11)
-            clip_w = b0 * col(12) + b1 * col(13) + b2 * col(14)
-            z = clip_z / jnp.where(clip_w != 0.0, clip_w, 1.0)
-            valid = (inside & (col(15) > 0.0) & (z >= -1.0) & (z <= 1.0))
-
-            tri_ids = (c * TRI_CHUNK
-                       + jax.lax.broadcasted_iota(
-                           jnp.int32, (TRI_CHUNK, 1, 1), 0))
-            z_masked = jnp.where(valid, z, 2.0)
-            chunk_z = jnp.min(z_masked, axis=0)
-            at_min = valid & (z_masked == chunk_z[None])
-            chunk_id = jnp.max(jnp.where(at_min, tri_ids, -1), axis=0)
-            winner = at_min & (tri_ids == chunk_id[None])
-            wf = winner.astype(jnp.float32)
-            w0 = wf * b0
-            w1 = wf * b1
-            w2 = wf * b2
-            chunk_b0 = jnp.sum(w0, axis=0)
-            chunk_b1 = jnp.sum(w1, axis=0)
-            chunk_b2 = jnp.sum(w2, axis=0)
-
-            ablk = attr_in_ref[0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]
+            ablk = attr_in_ref[0, pl.ds(c * chunk, chunk), :]
             chunk_attr = jnp.zeros((a_pad, n_pix), jnp.float32)
             for k, wk in enumerate((w0, w1, w2)):
                 ak = ablk[:, k * a_pad:(k + 1) * a_pad]  # [C, A]
                 chunk_attr = chunk_attr + jax.lax.dot_general(
-                    ak, wk.reshape(TRI_CHUNK, n_pix),
+                    ak, wk.reshape(chunk, n_pix),
                     (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [A, P]
+                    preferred_element_type=jnp.float32,
+                    precision=_DOT_PRECISION)  # [A, P]
 
-            better = ((chunk_z < best_z) |
-                      ((chunk_z == best_z) & (chunk_id > best_id)))
+            better = _merge_better(chunk_z, chunk_id, best_z, best_id)
             # Mosaic can't shape-cast i1 vectors; flatten as f32.
-            betterf = better.astype(jnp.float32).reshape(1, n_pix) > 0.0
+            betterf = (better.astype(jnp.float32).reshape(1, n_pix) > 0.0)
             best_z = jnp.where(better, chunk_z, best_z)
             best_id = jnp.where(better, chunk_id, best_id)
-            best_b0 = jnp.where(better, chunk_b0, best_b0)
-            best_b1 = jnp.where(better, chunk_b1, best_b1)
-            best_b2 = jnp.where(better, chunk_b2, best_b2)
+            best_b0 = jnp.where(better, jnp.sum(w0, axis=0), best_b0)
+            best_b1 = jnp.where(better, jnp.sum(w1, axis=0), best_b1)
+            best_b2 = jnp.where(better, jnp.sum(w2, axis=0), best_b2)
             best_attr = jnp.where(betterf, chunk_attr, best_attr)
             return (best_z, best_id, best_b0, best_b1, best_b2, best_attr)
 
-        return jax.lax.cond(jnp.any(hit), rasterize_chunk, lambda cr: cr,
-                            carry)
+        return jax.lax.cond(_chunk_hits_tile(data, bounds), rasterize_chunk,
+                            lambda cr: cr, carry)
 
     zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     init = (jnp.ones((TILE_H, TILE_W), jnp.float32),
             jnp.full((TILE_H, TILE_W), -1, jnp.int32),
             zeros, zeros, zeros,
             jnp.zeros((a_pad, n_pix), jnp.float32))
-    best_z, best_id, best_b0, best_b1, best_b2, best_attr = jax.lax.fori_loop(
+    _, best_id, best_b0, best_b1, best_b2, best_attr = jax.lax.fori_loop(
         0, n_chunks, chunk_body, init)
 
     id_ref[0] = jnp.maximum(best_id, 0)
     b0_ref[0] = best_b0
     b1_ref[0] = best_b1
     b2_ref[0] = best_b2
-    z_ref[0] = best_z
     attr_ref[0] = best_attr.reshape(a_pad, TILE_H, TILE_W)
 
 
 def _forward_fused(tri_data, attr_packed, row_offset, image_width,
                    image_height, full_height, interpret):
-    """Fused forward: -> (ids, bc, z, attrs [B, a_pad, H, W])."""
+    """Fused forward: -> (ids, bc, attrs [B, a_pad, H, W])."""
     batch, n_tri_padded, _ = tri_data.shape
     a3 = attr_packed.shape[-1]
     a_pad = a3 // 3
@@ -624,7 +659,7 @@ def _forward_fused(tri_data, attr_packed, row_offset, image_width,
     out_shape = [
         jax.ShapeDtypeStruct((batch, image_height, image_width), jnp.int32),
     ] + [jax.ShapeDtypeStruct((batch, image_height, image_width),
-                              jnp.float32)] * 4 + [
+                              jnp.float32)] * 3 + [
         jax.ShapeDtypeStruct((batch, a_pad, image_height, image_width),
                              jnp.float32),
     ]
@@ -642,7 +677,7 @@ def _forward_fused(tri_data, attr_packed, row_offset, image_width,
                                  memory_space=pltpu.VMEM)
     row_off = jnp.asarray(row_offset, jnp.float32).reshape(1)
 
-    ids, b0, b1, b2, z, attrs = pl.pallas_call(
+    ids, b0, b1, b2, attrs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -650,13 +685,13 @@ def _forward_fused(tri_data, attr_packed, row_offset, image_width,
             tri_spec,
             attr_in_spec,
         ],
-        out_specs=[tile_spec] * 5 + [attr_out_spec],
+        out_specs=[tile_spec] * 4 + [attr_out_spec],
         out_shape=out_shape,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(row_off, tri_data, attr_packed)
     bc = jnp.stack([b0, b1, b2], axis=-1)
-    return ids, bc, jnp.where(z > 1.0, 1.0, z), attrs
+    return ids, bc, attrs
 
 
 def _bwd_kernel_fused(row_off_ref, tri_ref, attr_in_ref, id_ref, b0_ref,
@@ -674,59 +709,36 @@ def _bwd_kernel_fused(row_off_ref, tri_ref, attr_in_ref, id_ref, b0_ref,
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     n_pix = TILE_H * TILE_W
+    chunk = FUSED_BWD_TRI_CHUNK
 
     @pl.when((ti == 0) & (tj == 0))
     def _init():
         dcorner_ref[:] = jnp.zeros_like(dcorner_ref)
         dattr_ref[:] = jnp.zeros_like(dattr_ref)
 
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-    pix_ok = ((row_idx + ti * TILE_H < image_height) &
-              (col_idx + tj * TILE_W < image_width))
-
-    ids = jnp.where(pix_ok, id_ref[0], -1)
-    b0 = jnp.where(pix_ok, b0_ref[0], 0.0)
-    b1 = jnp.where(pix_ok, b1_ref[0], 0.0)
-    b2 = jnp.where(pix_ok, b2_ref[0], 0.0)
-    g0 = jnp.where(pix_ok, g0_ref[0], 0.0)
-    g1 = jnp.where(pix_ok, g1_ref[0], 0.0)
-    g2 = jnp.where(pix_ok, g2_ref[0], 0.0)
+    (pix_ok, ids, b0, b1, b2, g0, g1, g2, active, tile_id_min,
+     tile_id_max) = _bwd_tile_inputs(
+         ti, tj, id_ref, b0_ref, b1_ref, b2_ref, g0_ref, g1_ref, g2_ref,
+         image_width, image_height)
     gattr = jnp.where(pix_ok[None], gattr_ref[0], 0.0)  # [A, TH, TW]
     gattrf = gattr.reshape(a_pad, n_pix)
     b0f = b0.reshape(1, n_pix)
     b1f = b1.reshape(1, n_pix)
     b2f = b2.reshape(1, n_pix)
-
-    active = ~((ids == 0) &
-               (b0 + b1 + b2 < DEGENERATE_BARYCENTRIC_CUTOFF))
-
-    masked_ids = jnp.where(active, ids, jnp.iinfo(jnp.int32).max)
-    tile_id_min = jnp.min(jnp.min(masked_ids, axis=1), axis=0)
-    tile_id_max = jnp.max(jnp.max(jnp.where(active, ids, -1), axis=1),
-                          axis=0)
-
-    # [P, 3] barycentric matrix shared by every chunk's corner reduction.
     bmat = jnp.concatenate([b0f, b1f, b2f], axis=0)  # [3, P]
 
-    n_chunks = n_tri_padded // BWD_TRI_CHUNK
+    n_chunks = n_tri_padded // chunk
 
     def chunk_body(c, _):
-        hit = ((c * BWD_TRI_CHUNK <= tile_id_max) &
-               ((c + 1) * BWD_TRI_CHUNK > tile_id_min))
+        hit = ((c * chunk <= tile_id_max) & ((c + 1) * chunk > tile_id_min))
 
         def process(_):
-            data = tri_ref[0, pl.ds(c * BWD_TRI_CHUNK, BWD_TRI_CHUNK), :]
-            ablk = attr_in_ref[0, pl.ds(c * BWD_TRI_CHUNK, BWD_TRI_CHUNK), :]
-
-            def col(k):
-                return data[:, k].reshape(BWD_TRI_CHUNK, 1, 1)
-
-            tid = (c * BWD_TRI_CHUNK + jax.lax.broadcasted_iota(
-                jnp.int32, (BWD_TRI_CHUNK, 1, 1), 0))
+            data = tri_ref[0, pl.ds(c * chunk, chunk), :]
+            ablk = attr_in_ref[0, pl.ds(c * chunk, chunk), :]
+            tid = (c * chunk + jax.lax.broadcasted_iota(
+                jnp.int32, (chunk, 1, 1), 0))
             mask = ((ids[None] == tid) & active[None]).astype(jnp.float32)
-            maskf = mask.reshape(BWD_TRI_CHUNK, n_pix)
-            inv_det = col(20)
+            maskf = mask.reshape(chunk, n_pix)
 
             # Interpolation contribution to the barycentric cotangents:
             # dbc_k(p) = sum_a gattr(a, p) * attr_k[winner(p), a].
@@ -735,38 +747,25 @@ def _bwd_kernel_fused(row_off_ref, tri_ref, attr_in_ref, id_ref, b0_ref,
                 ak = ablk[:, k * a_pad:(k + 1) * a_pad]  # [C, A]
                 proj = jax.lax.dot_general(
                     ak, gattrf, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [C, P]
-                proj = proj.reshape(BWD_TRI_CHUNK, TILE_H, TILE_W)
+                    preferred_element_type=jnp.float32,
+                    precision=_DOT_PRECISION)  # [C, P]
+                proj = proj.reshape(chunk, TILE_H, TILE_W)
                 dbc.append(jnp.sum(mask * proj, axis=0))
             g0t = g0 + dbc[0]
             g1t = g1 + dbc[1]
             g2t = g2 + dbc[2]
             gb = g0t * b0 + g1t * b1 + g2t * b2
-
-            for cc in range(3):  # coordinate in {x, y, w}
-                s_c = col(cc) + col(3 + cc) + col(6 + cc)
-                r_c = (g0t[None] * col(cc) + g1t[None] * col(3 + cc) +
-                       g2t[None] * col(6 + cc))
-                t_c = (s_c * gb[None] - r_c) * inv_det * mask
-                # All 3 corner reductions in one MXU matmul:
-                # red[t, k] = sum_p t_c[t, p] * b_k[p]. Table layout is
-                # (coord-major) column cc*3 + k.
-                red = jax.lax.dot_general(
-                    t_c.reshape(BWD_TRI_CHUNK, n_pix), bmat,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [C, 3]
-                sl = (0, pl.ds(c * BWD_TRI_CHUNK, BWD_TRI_CHUNK),
-                      pl.ds(cc * 3, 3))
-                dcorner_ref[sl] = dcorner_ref[sl] + red
+            _bwd_chunk_core(data, mask, g0t, g1t, g2t, gb, bmat, chunk,
+                            n_pix, dcorner_ref, c)
 
             # Attribute gradients: dattr_k[t, a] = sum_p mask*b_k * gattr.
             for k, bkf in enumerate((b0f, b1f, b2f)):
                 mb = maskf * bkf  # [C, P]
                 part = jax.lax.dot_general(
                     mb, gattrf, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [C, A]
-                sl = (0, pl.ds(c * BWD_TRI_CHUNK, BWD_TRI_CHUNK),
-                      pl.ds(k * a_pad, a_pad))
+                    preferred_element_type=jnp.float32,
+                    precision=_DOT_PRECISION)  # [C, A]
+                sl = (0, pl.ds(c * chunk, chunk), pl.ds(k * a_pad, a_pad))
                 dattr_ref[sl] = dattr_ref[sl] + part
             return 0
 
@@ -832,19 +831,13 @@ def _backward_fused(tri_data, attr_packed, triangles, vertex_count,
     )(row_off, tri_data, attr_packed, ids, bc[..., 0], bc[..., 1],
       bc[..., 2], df_dbc[..., 0], df_dbc[..., 1], df_dbc[..., 2], gattr)
 
+    df_dvertices = _scatter_corner_grads(dcorner, triangles, batch,
+                                         vertex_count)
     tris = jnp.asarray(triangles, jnp.int32)
     n_tri = tris.shape[0]
-    df_dvertices = jnp.zeros([batch, vertex_count, 4], jnp.float32)
     df_dattributes = jnp.zeros([batch, vertex_count, attribute_count],
                                jnp.float32)
-    for k in range(3):  # corner scatter: T-sized, vertex z stays zero
-        # Fused table layout is coord-major: column cc * 3 + k.
-        grads_xyw = dcorner[:, :n_tri, k::3]
-        updates = jnp.concatenate(
-            [grads_xyw[..., 0:2],
-             jnp.zeros([batch, n_tri, 1], jnp.float32),
-             grads_xyw[..., 2:3]], axis=-1)
-        df_dvertices = df_dvertices.at[:, tris[:, k]].add(updates)
+    for k in range(3):
         attr_updates = dattr_tab[:, :n_tri,
                                  k * a_pad:k * a_pad + attribute_count]
         df_dattributes = df_dattributes.at[:, tris[:, k]].add(attr_updates)
@@ -861,12 +854,12 @@ def _pallas_interp_core(clip_vertices, attributes, triangles, row_offset,
 
 def _interp_fwd(clip_vertices, attributes, triangles, row_offset,
                 image_width, image_height, full_height, interpret):
-    tri_data = _pack_batched(clip_vertices, triangles)
+    tri_data = _pack_batched(clip_vertices, triangles, FUSED_TRI_CHUNK)
     a = attributes.shape[-1]
     a_pad = _pad_attr_count(a)
     attr_packed = _pack_corner_attributes(attributes, triangles, a_pad,
                                           tri_data.shape[1])
-    ids, bc, z, attrs = _forward_fused(
+    ids, bc, attrs = _forward_fused(
         tri_data, attr_packed, row_offset, image_width, image_height,
         full_height, interpret)
     attr_images = jnp.moveaxis(attrs, 1, -1)[..., :a]  # [B, H, W, A]

@@ -45,11 +45,19 @@ TEAPOT_CANDIDATES = [
 ]
 
 
-def load_mesh():
-    """Teapot if the reference assets are present, else a ~2k-tri sphere."""
+def load_mesh(sphere_resolution=None):
+    """Teapot if the reference assets are present, else a ~2k-tri sphere.
+
+    sphere_resolution forces a procedural UV-sphere of that resolution
+    (resolution 72 ~= 10k triangles — the BASELINE config-5 stress mesh).
+    """
     from pytorch_mesh_renderer_tpu.utils import obj_io
     from pytorch_mesh_renderer_tpu.models import shapes
 
+    if sphere_resolution:
+        v, t, n = shapes.sphere(1.0, resolution=sphere_resolution)
+        return (np.asarray(v), np.asarray(t), np.asarray(n),
+                f"sphere{sphere_resolution} ({t.shape[0]} tris)")
     for path in TEAPOT_CANDIDATES:
         if path and os.path.exists(path):
             vertices, triangles, normals = obj_io.load_obj(path)
@@ -59,11 +67,11 @@ def load_mesh():
     return np.asarray(v), np.asarray(t), np.asarray(n), "sphere32"
 
 
-def build_scene(batch, size):
+def build_scene(batch, size, sphere_resolution=None):
     import jax.numpy as jnp
     from pytorch_mesh_renderer_tpu.ops import camera
 
-    v, t, n, mesh_name = load_mesh()
+    v, t, n, mesh_name = load_mesh(sphere_resolution)
     # Hard renderer expects CW winding; OBJ/shapes are CCW.
     t = t[:, ::-1].copy()
     vertices = jnp.tile(jnp.asarray(v)[None], [batch, 1, 1])
@@ -87,12 +95,12 @@ def build_scene(batch, size):
                 mesh_name=mesh_name, tri_count=int(t.shape[0]))
 
 
-def bench_hard(batch, size, iters):
+def bench_hard(batch, size, iters, sphere_resolution=None):
     import jax
     import jax.numpy as jnp
     from pytorch_mesh_renderer_tpu.models import mesh_renderer
 
-    scene = build_scene(batch, size)
+    scene = build_scene(batch, size, sphere_resolution)
     triangles = scene["triangles"]
 
     def loss_fn(vertices):
@@ -115,12 +123,12 @@ def bench_hard(batch, size, iters):
     return batch * iters / dt, scene
 
 
-def bench_soft(batch, size, iters):
+def bench_soft(batch, size, iters, sphere_resolution=None):
     import jax
     import jax.numpy as jnp
     from pytorch_mesh_renderer_tpu.models import soft_mesh_renderer
 
-    scene = build_scene(batch, size)
+    scene = build_scene(batch, size, sphere_resolution)
     triangles = scene["triangles"][:, ::-1].copy()  # soft wants CCW
 
     def loss_fn(vertices):
@@ -195,6 +203,11 @@ def main():
     parser.add_argument("--pose", action="store_true",
                         help="500-step Adam pose-optimization benchmark")
     parser.add_argument("--steps", type=int, default=500)
+    parser.add_argument("--sphere-resolution", type=int, default=None,
+                        help="force a procedural sphere mesh (72 ~= 10k tris)")
+    parser.add_argument("--stress", action="store_true",
+                        help="BASELINE config 5: 64 meshes x ~10k tris, "
+                             "512^2, lit, fwd+bwd")
     args = parser.parse_args()
 
     import jax
@@ -212,15 +225,21 @@ def main():
         }))
         return
 
+    if args.stress:
+        args.size, args.batch, args.sphere_resolution = 512, 64, 72
+        args.iters = min(args.iters, 5)
+
     if args.soft:
-        value, scene = bench_soft(args.batch, args.size, args.iters)
+        value, scene = bench_soft(args.batch, args.size, args.iters,
+                                  args.sphere_resolution)
         metric = (f"soft fwd+bwd renders/sec @ {args.size}^2 "
                   f"({scene['mesh_name']}, batch {args.batch}, {platform})")
         baseline = (BASELINE_MEASURED.get(
             "soft_cube_128_fwdbwd_renders_per_sec")
             if args.size == 128 else None)
     else:
-        value, scene = bench_hard(args.batch, args.size, args.iters)
+        value, scene = bench_hard(args.batch, args.size, args.iters,
+                                   args.sphere_resolution)
         metric = (f"hard fwd+bwd renders/sec @ {args.size}^2 "
                   f"({scene['mesh_name']}, batch {args.batch}, {platform})")
         baseline = BASELINE_MEASURED.get(

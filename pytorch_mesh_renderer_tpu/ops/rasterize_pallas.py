@@ -62,11 +62,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .barycentric import (DEGENERATE_BARYCENTRIC_CUTOFF,
                           unnormalized_matrix_inverse)
 
-# Tile dimensions (f32 min tile is 8x128). (16, 256) measured fastest at
-# 256^2-512^2: short tiles tighten the bbox cull while wide lanes keep the
-# VPU fed.
+# Tile dimensions (f32 min tile is 8x128). (16, 128) measured fastest for
+# the fused kernels at 256^2 (297 vs 247 renders/s at (16, 256)) AND at the
+# 512^2 10k-tri stress (58 vs 49): small tiles tighten the chunk bbox cull,
+# which outweighs per-tile loop overhead.
 TILE_H = 16
-TILE_W = 256
+TILE_W = 128
 # Triangles processed per inner step ([chunk, TILE_H, TILE_W] temporaries).
 # The fused kernels run fastest at 64 (the in-chunk MXU matmuls amortize
 # better with larger K and fewer cull branches); the barycentric-only

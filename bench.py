@@ -6,6 +6,7 @@ anchor is the reference implementation measured on CPU (see
 BASELINE_MEASURED below for provenance); `vs_baseline` is ours / reference.
 
 Usage: python bench.py [--size N] [--batch N] [--iters N] [--soft]
+                       [--pose] [--stress] [--sphere-resolution N]
 """
 
 import argparse

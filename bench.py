@@ -7,6 +7,7 @@ BASELINE_MEASURED below for provenance); `vs_baseline` is ours / reference.
 
 Usage: python bench.py [--size N] [--batch N] [--iters N] [--soft]
                        [--pose] [--stress] [--sphere-resolution N]
+                       [--mfu] [--profile DIR] [--soft-sweep]
 """
 
 import argparse
@@ -42,6 +43,8 @@ if os.path.exists(_BASELINE_FILE):
 
 TEAPOT_CANDIDATES = [
     os.environ.get("MESH_RENDERER_TEAPOT", ""),
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets",
+                 "teapot.obj"),
     "/root/reference/src/examples/teapot.obj",
 ]
 
@@ -96,10 +99,13 @@ def build_scene(batch, size, sphere_resolution=None):
                 mesh_name=mesh_name, tri_count=int(t.shape[0]))
 
 
-def bench_hard(batch, size, iters, sphere_resolution=None):
+def bench_hard(batch, size, iters, sphere_resolution=None, profile_dir=None):
+    import contextlib
+
     import jax
     import jax.numpy as jnp
     from pytorch_mesh_renderer_tpu.models import mesh_renderer
+    from pytorch_mesh_renderer_tpu.utils import profiling
 
     scene = build_scene(batch, size, sphere_resolution)
     triangles = scene["triangles"]
@@ -116,12 +122,17 @@ def bench_hard(batch, size, iters, sphere_resolution=None):
     loss, grads = step(scene["vertices"])
     jax.block_until_ready((loss, grads))
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        loss, grads = step(scene["vertices"])
-    jax.block_until_ready((loss, grads))
-    dt = time.perf_counter() - t0
-    return batch * iters / dt, scene
+    ctx = (profiling.trace(profile_dir) if profile_dir
+           else contextlib.nullcontext())
+    with ctx:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            loss, grads = step(scene["vertices"])
+        jax.block_until_ready((loss, grads))
+        dt = time.perf_counter() - t0
+    if profile_dir:
+        print(f"xprof trace written to {profile_dir}", file=sys.stderr)
+    return batch * iters / dt, scene, dt / iters
 
 
 def bench_soft(batch, size, iters, sphere_resolution=None):
@@ -148,6 +159,119 @@ def bench_soft(batch, size, iters, sphere_resolution=None):
     jax.block_until_ready((loss, grads))
     dt = time.perf_counter() - t0
     return batch * iters / dt, scene
+
+
+# v5e peak numbers for the roofline readout (public spec: 197 TFLOP/s bf16,
+# 819 GB/s HBM). The rasterizer kernels run f32 on the VPU with f32 MXU
+# interpolation matmuls, so %-of-bf16-peak understates true MXU utilization;
+# both %-peak and the HBM-bandwidth roofline are reported.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_HBM_BYTES_PER_SEC = 819e9
+
+
+def estimate_hard_cost(scene, size):
+    """Analytic FLOP/byte model of the fused hard Pallas fwd+bwd step.
+
+    (tile, chunk) pair counts come from the real binning prepass
+    (rasterize_pallas._bin_chunks), so the FLOP count reflects the work the
+    kernel actually executes, not a dense worst case. Per-(triangle, pixel)
+    FLOP constants are read off the kernel bodies:
+
+      forward (_rasterize_chunk_core + fused interpolation): 12 edge-func
+      mul/adds, ~22 barycentric/z/winner ops, and 3 [C,A]x[C,P] MXU matmuls
+      = 6*a_pad flops -> 34 + 6*a_pad per tri-px;
+      backward (_bwd_kernel_fused): interpolation-VJP matmuls (6*a_pad),
+      per-coordinate gradient chain ~48, mask/gb ~16, attribute-gradient
+      matmuls (6*a_pad) -> 64 + 12*a_pad per tri-px.
+
+    HBM bytes cover the kernel inputs/outputs (triangle + corner-attr
+    tables per batch element, bc/id images, attr images and cotangents,
+    gradient tables); the Phong shader's elementwise traffic rides the same
+    images and is not double counted.
+    """
+    import jax.numpy as jnp
+    from pytorch_mesh_renderer_tpu.ops import camera
+    from pytorch_mesh_renderer_tpu.ops import rasterize_pallas as rp
+
+    batch = scene["vertices"].shape[0]
+    cams = camera.clip_space_transforms(
+        scene["eye"], scene["center"], scene["up"],
+        jnp.full([batch], 40.0), jnp.full([batch], 0.01),
+        jnp.full([batch], 10.0), size, size)
+    clip = camera.transform_homogeneous(cams, scene["vertices"])
+    tri_data = rp._pack_batched(clip, scene["triangles"],
+                                rp.FUSED_TRI_CHUNK)
+    _, counts = rp._bin_chunks(tri_data, rp.FUSED_TRI_CHUNK, size, size,
+                               0, size)
+    pairs = int(jnp.sum(counts))
+    tri_px = pairs * rp.FUSED_TRI_CHUNK * rp.TILE_H * rp.TILE_W
+    a_pad = 16  # normals+positions+diffuse = 9 attrs, padded to 16
+    flops = tri_px * (34 + 6 * a_pad) + tri_px * (64 + 12 * a_pad)
+
+    t_pad = tri_data.shape[1]
+    n_px = batch * size * size
+    table_bytes = batch * t_pad * (21 + 3 * a_pad) * 4  # tri + attr tables
+    image_bytes = n_px * 4 * (4 + a_pad)                # ids/bc + attrs
+    grad_tables = batch * t_pad * (9 + 3 * a_pad) * 4
+    # fwd reads tables writes images; bwd reads both + cotangents, writes
+    # gradient tables.
+    hbm_bytes = (table_bytes + image_bytes) + (
+        table_bytes + 2 * image_bytes + grad_tables)
+    return flops, hbm_bytes, pairs
+
+
+def bench_soft_sweep(batch, size, iters, platform):
+    """BASELINE config 3: SoftRas silhouette fwd+bwd over the sigma/gamma
+    regimes the reference tests exercise (test_rasterize.py:46-215: the
+    1e-5/1e-4 defaults, the widened -r^2/logit(1e-3) saturation sigma, and
+    the 1e-1 soft-depth gamma). One JSON line per grid point.
+
+    sigma/gamma are traced SMEM params of the Pallas kernel, so the whole
+    sweep reuses ONE compiled executable.
+    """
+    import jax
+    import jax.numpy as jnp
+    from pytorch_mesh_renderer_tpu.models import shapes, soft_mesh_renderer
+
+    verts, tris, _ = shapes.cube(2.0)
+    vertices = jnp.tile(jnp.asarray(verts)[None], [batch, 1, 1])
+    colors = jnp.ones_like(vertices)
+    eye = jnp.tile(jnp.array([[0.0, 0.0, 6.0]]), [batch, 1])
+    center = jnp.zeros([batch, 3])
+    up = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), [batch, 1])
+    lights = eye[:, None, :]
+    intensities = jnp.ones([batch, 1])
+
+    def loss_fn(v, sigma, gamma):
+        images = soft_mesh_renderer.render(
+            v, tris, colors, eye, center, up, lights, intensities, size,
+            size, sigma_val=sigma, gamma_val=gamma)
+        return jnp.mean(images[..., 3] ** 2)
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+
+    saturation_sigma = float(-(0.5 ** 2) / np.log(1e-3 / (1 - 1e-3)))
+    sigmas = [1e-5, 1e-4, saturation_sigma]
+    gammas = [1e-4, 1e-2, 1e-1]
+    for sigma in sigmas:
+        for gamma in gammas:
+            s = jnp.float32(sigma)
+            g = jnp.float32(gamma)
+            out = step(vertices, s, g)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = step(vertices, s, g)
+            jax.block_until_ready(out)
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "metric": (f"soft fwd+bwd renders/sec @ {size}^2 (cube, "
+                           f"batch {batch}, sigma {sigma:.2e}, gamma "
+                           f"{gamma:.2e}, {platform})"),
+                "value": round(batch * iters / dt, 3),
+                "unit": "renders/sec",
+                "vs_baseline": None,
+            }))
 
 
 def bench_pose(steps, size):
@@ -209,10 +333,25 @@ def main():
     parser.add_argument("--stress", action="store_true",
                         help="BASELINE config 5: 64 meshes x ~10k tris, "
                              "512^2, lit, fwd+bwd")
+    parser.add_argument("--mfu", action="store_true",
+                        help="add an analytic FLOPs/HBM roofline readout "
+                             "(achieved TFLOP/s, %% of v5e peak, GB/s) to "
+                             "the hard benchmark")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="capture a jax.profiler (XProf) trace of the "
+                             "timed loop into DIR")
+    parser.add_argument("--soft-sweep", action="store_true",
+                        help="BASELINE config 3: soft silhouette sweep over "
+                             "the sigma/gamma grid at 128^2; one JSON line "
+                             "per point")
     args = parser.parse_args()
 
     import jax
     platform = jax.devices()[0].platform
+
+    if args.soft_sweep:
+        bench_soft_sweep(args.batch, 128, args.iters, platform)
+        return
 
     if args.pose:
         value, final_loss, _ = bench_pose(args.steps, 128)
@@ -239,20 +378,44 @@ def main():
             "soft_cube_128_fwdbwd_renders_per_sec")
             if args.size == 128 else None)
     else:
-        value, scene = bench_hard(args.batch, args.size, args.iters,
-                                   args.sphere_resolution)
+        value, scene, sec_per_step = bench_hard(
+            args.batch, args.size, args.iters, args.sphere_resolution,
+            profile_dir=args.profile)
         metric = (f"hard fwd+bwd renders/sec @ {args.size}^2 "
                   f"({scene['mesh_name']}, batch {args.batch}, {platform})")
-        baseline = BASELINE_MEASURED.get(
+        # The baseline anchor is specifically the batch-4 256^2 teapot; any
+        # other config (e.g. --stress) reports vs_baseline: null rather than
+        # a misleading multiplier.
+        baseline = (BASELINE_MEASURED.get(
             "hard_teapot_256_fwdbwd_renders_per_sec")
+            if (args.size == 256 and args.batch == 4
+                and scene["mesh_name"] == "teapot") else None)
 
     vs_baseline = (value / baseline) if baseline else None
-    print(json.dumps({
+    record = {
         "metric": metric,
         "value": round(value, 3),
         "unit": "renders/sec",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-    }))
+    }
+    if args.mfu and not args.soft:
+        flops, hbm_bytes, pairs = estimate_hard_cost(scene, args.size)
+        tflops = flops / sec_per_step / 1e12
+        gbps = hbm_bytes / sec_per_step / 1e9
+        record.update({
+            "model_flops_per_step": flops,
+            "model_hbm_bytes_per_step": hbm_bytes,
+            "binned_tile_chunk_pairs": pairs,
+            "achieved_tflops": round(tflops, 3),
+            "pct_v5e_bf16_peak": (round(
+                100.0 * tflops * 1e12 / V5E_PEAK_BF16_FLOPS, 2)
+                if platform == "tpu" else None),
+            "achieved_hbm_gbps": round(gbps, 1),
+            "pct_v5e_hbm_bw": (round(
+                100.0 * gbps * 1e9 / V5E_HBM_BYTES_PER_SEC, 2)
+                if platform == "tpu" else None),
+        })
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -14,13 +14,19 @@ import numpy as np
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+DEFAULT_TEAPOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "assets", "teapot.obj")
+
+# Optional location of the upstream reference's example assets (target PNGs
+# for the pose/shape-fitting demos); every example synthesizes its own
+# target when these are absent.
 REFERENCE_EXAMPLES = os.environ.get(
     "MESH_RENDERER_REFERENCE_EXAMPLES", "/root/reference/src/examples")
-DEFAULT_TEAPOT = os.path.join(REFERENCE_EXAMPLES, "teapot.obj")
 
 
 def load_teapot(path=None, normalize=True):
-    """Teapot OBJ (reference asset) or a procedural sphere fallback."""
+    """Teapot OBJ (vendored asset) or a procedural sphere fallback."""
     from pytorch_mesh_renderer_tpu.utils import obj_io
     from pytorch_mesh_renderer_tpu.models import shapes
 

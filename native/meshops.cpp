@@ -35,6 +35,10 @@ bool read_file(const char* path, Buffer* out) {
     return false;
   }
   out->data = static_cast<char*>(std::malloc(size + 1));
+  if (!out->data) {
+    std::fclose(f);
+    return false;
+  }
   out->size = static_cast<size_t>(size);
   if (std::fread(out->data, 1, out->size, f) != out->size) {
     std::fclose(f);
@@ -83,11 +87,13 @@ struct ObjMesh {
   int* faces;            // [face_count * 3] 0-based vertex ids
   long face_count;
   int* face_normal_ids;  // [face_count * 3] 0-based vn ids, -1 when absent
+  long skipped_face_vertices;  // face vertices beyond the third, dropped
   char error[256];
 };
 
 ObjMesh* meshops_load_obj(const char* path) {
   ObjMesh* mesh = static_cast<ObjMesh*>(std::calloc(1, sizeof(ObjMesh)));
+  if (!mesh) return nullptr;
   Buffer buf;
   if (!read_file(path, &buf)) {
     std::snprintf(mesh->error, sizeof(mesh->error), "cannot read %s", path);
@@ -121,8 +127,9 @@ ObjMesh* meshops_load_obj(const char* path) {
       skip_line(p);
     } else if (p[0] == 'f' && (p[1] == ' ' || p[1] == '\t')) {
       p += 1;
-      // Triangles only; extra face vertices are skipped like the python
-      // parser (utils/obj_io.py warns on >3).
+      // Triangles only; extra face vertices are dropped and counted in
+      // skipped_face_vertices so the python binding can warn, matching the
+      // pure-python parser's behavior (utils/obj_io.py).
       int corner = 0;
       while (true) {
         skip_ws(p);
@@ -148,6 +155,8 @@ ObjMesh* meshops_load_obj(const char* path) {
         if (corner < 3) {
           faces.push_back(static_cast<int>(v) - 1);
           face_normals.push_back(has_vn ? static_cast<int>(vn) - 1 : -1);
+        } else {
+          ++mesh->skipped_face_vertices;
         }
         ++corner;
       }
@@ -169,18 +178,35 @@ ObjMesh* meshops_load_obj(const char* path) {
   mesh->face_count = static_cast<long>(faces.size() / 3);
   mesh->vertices =
       static_cast<float*>(std::malloc(vertices.size() * sizeof(float)));
-  std::memcpy(mesh->vertices, vertices.data(),
-              vertices.size() * sizeof(float));
+  mesh->faces = static_cast<int*>(std::malloc(faces.size() * sizeof(int)));
+  mesh->face_normal_ids =
+      static_cast<int*>(std::malloc(face_normals.size() * sizeof(int)));
   if (!normals.empty()) {
     mesh->normals =
         static_cast<float*>(std::malloc(normals.size() * sizeof(float)));
+  }
+  if (!mesh->vertices || !mesh->faces || !mesh->face_normal_ids ||
+      (!normals.empty() && !mesh->normals)) {
+    std::free(mesh->vertices);
+    std::free(mesh->faces);
+    std::free(mesh->face_normal_ids);
+    std::free(mesh->normals);
+    mesh->vertices = nullptr;
+    mesh->faces = nullptr;
+    mesh->face_normal_ids = nullptr;
+    mesh->normals = nullptr;
+    mesh->vertex_count = mesh->normal_count = mesh->face_count = 0;
+    std::snprintf(mesh->error, sizeof(mesh->error),
+                  "out of memory loading %s", path);
+    return mesh;
+  }
+  std::memcpy(mesh->vertices, vertices.data(),
+              vertices.size() * sizeof(float));
+  if (!normals.empty()) {
     std::memcpy(mesh->normals, normals.data(),
                 normals.size() * sizeof(float));
   }
-  mesh->faces = static_cast<int*>(std::malloc(faces.size() * sizeof(int)));
   std::memcpy(mesh->faces, faces.data(), faces.size() * sizeof(int));
-  mesh->face_normal_ids =
-      static_cast<int*>(std::malloc(face_normals.size() * sizeof(int)));
   std::memcpy(mesh->face_normal_ids, face_normals.data(),
               face_normals.size() * sizeof(int));
   return mesh;
@@ -203,6 +229,14 @@ int meshops_save_obj(const char* path, const float* vertices, long V,
     std::fprintf(f, "v %g %g %g\n", vertices[3 * i], vertices[3 * i + 1],
                  vertices[3 * i + 2]);
   }
+  // vn before f: strict streaming OBJ readers reject forward references
+  // (same ordering as the python writer, utils/obj_io.py save_obj).
+  if (normals) {
+    for (long i = 0; i < V; ++i) {
+      std::fprintf(f, "vn %g %g %g\n", normals[3 * i], normals[3 * i + 1],
+                   normals[3 * i + 2]);
+    }
+  }
   for (long i = 0; i < T; ++i) {
     if (normals) {
       std::fprintf(f, "f %d//%d %d//%d %d//%d\n", faces[3 * i] + 1,
@@ -212,12 +246,6 @@ int meshops_save_obj(const char* path, const float* vertices, long V,
     } else {
       std::fprintf(f, "f %d %d %d\n", faces[3 * i] + 1, faces[3 * i + 1] + 1,
                    faces[3 * i + 2] + 1);
-    }
-  }
-  if (normals) {
-    for (long i = 0; i < V; ++i) {
-      std::fprintf(f, "vn %g %g %g\n", normals[3 * i], normals[3 * i + 1],
-                   normals[3 * i + 2]);
     }
   }
   std::fclose(f);

@@ -15,10 +15,13 @@ per-triangle coefficient rows through a chunked loop:
     the VMEM carry (min z wins, depth ties break to the larger triangle id
     — equivalent to the C++ kernel's strict `z > z_buffer` skip under
     later-triangle overwrite, cpp:395-409);
-  * the C++ bbox pixel scan (cpp:355-371) becomes chunk-level culling: a
-    triangle chunk whose collective NDC bbox misses the tile is skipped
-    entirely (`lax.cond`), the tiled analogue of SURVEY.md §5's "per-tile
-    triangle binning".
+  * the C++ bbox pixel scan (cpp:355-371) becomes **per-tile binning**
+    (SURVEY.md §5, the quadtree replacement): an XLA prepass (_bin_chunks)
+    intersects chunk-level NDC bboxes with every tile and emits fixed-shape
+    per-tile candidate lists + counts; each tile's kernel loop then visits
+    only its own candidates (dynamic fori_loop bound, SMEM-resident list).
+    The backward kernels additionally refine candidates by the tile's
+    winner-id range.
 
 Two kernel pairs share the chunk math (`_rasterize_chunk_core`,
 `_bwd_chunk_core`):
@@ -69,13 +72,15 @@ from .barycentric import (DEGENERATE_BARYCENTRIC_CUTOFF,
 TILE_H = 16
 TILE_W = 128
 # Triangles processed per inner step ([chunk, TILE_H, TILE_W] temporaries).
-# The fused kernels run fastest at 64 (the in-chunk MXU matmuls amortize
-# better with larger K and fewer cull branches); the barycentric-only
-# kernels — which have no matmuls in the forward — measured fastest at 16.
+# Chunk size is also the BINNING granularity (per-tile candidate lists are
+# chunk-aligned), so smaller chunks cull tighter. Measured on v5e with
+# binning: fused chunk 16 beats 64 at BOTH the 256^2 teapot headline
+# (572 vs 413 renders/s) and the 512^2 10k-tri stress (216 vs 76; chunk 8
+# trades +11% stress for -3% headline).
 TRI_CHUNK = 16
 BWD_TRI_CHUNK = 16
-FUSED_TRI_CHUNK = 64
-FUSED_BWD_TRI_CHUNK = 64
+FUSED_TRI_CHUNK = 16
+FUSED_BWD_TRI_CHUNK = 16
 
 # In-kernel dot precision. These dots feed rendered images and analytic
 # gradients, so precision was checked explicitly on TPU v5e: with DEFAULT,
@@ -149,22 +154,50 @@ def _tile_pixel_coords(ti, tj, row_off, image_width, full_height):
     return px, py
 
 
-def _tile_ndc_bounds(ti, tj, row_off, image_width, full_height):
-    tile_min_x = (tj * TILE_W) * (2.0 / image_width) - 1.0
-    tile_max_x = ((tj + 1) * TILE_W) * (2.0 / image_width) - 1.0
-    tile_min_y = (ti * TILE_H + row_off) * (2.0 / full_height) - 1.0
-    tile_max_y = (((ti + 1) * TILE_H + row_off)
-                  * (2.0 / full_height) - 1.0)
-    return tile_min_x, tile_max_x, tile_min_y, tile_max_y
+def _bin_chunks(tri_data, chunk, image_width, image_height, row_offset,
+                full_height):
+    """Per-tile candidate chunk lists (the SURVEY §5 binning prepass).
 
+    The TPU-native replacement for the reference's quadtree
+    (src/soft_mesh_renderer/quadtree.py:37-101) with static shapes: for
+    every image tile, the indices of the triangle *chunks* whose combined
+    live NDC bbox overlaps the tile, hits first in ascending order
+    (stable argsort), plus the hit count. Kernels then fori_loop only over
+    `count` candidates instead of streaming all T_pad/chunk chunks with a
+    per-chunk cond — at the 512^2/10k-tri stress most tiles intersect only
+    a few percent of chunks.
 
-def _chunk_hits_tile(data, bounds):
-    """Chunk-level bbox cull: any triangle's NDC bbox overlaps the tile?"""
-    tile_min_x, tile_max_x, tile_min_y, tile_max_y = bounds
-    hit = ((data[:, 16] <= tile_max_x) & (data[:, 17] >= tile_min_x) &
-           (data[:, 18] <= tile_max_y) & (data[:, 19] >= tile_min_y) &
-           (data[:, 15] > 0.0))
-    return jnp.any(hit)
+    Returns:
+      candidates [B, R, C, n_chunks] i32, counts [B, R, C, 1] i32 — with
+      R = cdiv(H, TILE_H), C = cdiv(W, TILE_W).
+    """
+    batch, t_pad, _ = tri_data.shape
+    n_chunks = t_pad // chunk
+    n_rows = pl.cdiv(image_height, TILE_H)
+    n_cols = pl.cdiv(image_width, TILE_W)
+    per_tri = tri_data[:, :, 15:20].reshape(batch, n_chunks, chunk, 5)
+    live = per_tri[..., 0] > 0.0
+    inf = jnp.float32(np.inf)
+    cmin_x = jnp.min(jnp.where(live, per_tri[..., 1], inf), axis=2)
+    cmax_x = jnp.max(jnp.where(live, per_tri[..., 2], -inf), axis=2)
+    cmin_y = jnp.min(jnp.where(live, per_tri[..., 3], inf), axis=2)
+    cmax_y = jnp.max(jnp.where(live, per_tri[..., 4], -inf), axis=2)
+
+    row_off = jnp.asarray(row_offset, jnp.float32)
+    ti = jnp.arange(n_rows, dtype=jnp.float32)
+    tj = jnp.arange(n_cols, dtype=jnp.float32)
+    tmin_y = (ti * TILE_H + row_off) * (2.0 / full_height) - 1.0
+    tmax_y = ((ti + 1) * TILE_H + row_off) * (2.0 / full_height) - 1.0
+    tmin_x = tj * TILE_W * (2.0 / image_width) - 1.0
+    tmax_x = (tj + 1) * TILE_W * (2.0 / image_width) - 1.0
+
+    hit = ((cmin_x[:, None, None, :] <= tmax_x[None, None, :, None]) &
+           (cmax_x[:, None, None, :] >= tmin_x[None, None, :, None]) &
+           (cmin_y[:, None, None, :] <= tmax_y[None, :, None, None]) &
+           (cmax_y[:, None, None, :] >= tmin_y[None, :, None, None]))
+    counts = jnp.sum(hit, axis=-1, dtype=jnp.int32)[..., None]
+    candidates = jnp.argsort(~hit, axis=-1, stable=True).astype(jnp.int32)
+    return candidates, counts
 
 
 def _rasterize_chunk_core(data, px, py, chunk, chunk_start):
@@ -221,42 +254,40 @@ def _merge_better(chunk_z, chunk_id, best_z, best_id):
 # ---------------------------------------------------------------------------
 
 
-def _kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref, z_ref, *,
-            image_width, image_height, full_height, n_tri_padded):
+def _kernel(row_off_ref, count_ref, cand_ref, tri_ref, id_ref, b0_ref,
+            b1_ref, b2_ref, z_ref, *, image_width, image_height,
+            full_height, n_tri_padded):
     # Grid: (batch, tile_row, tile_col). Batch is a kernel-level grid axis —
     # the whole mesh batch renders in ONE pallas_call (no vmap).
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     px, py = _tile_pixel_coords(ti, tj, row_off_ref[0], image_width,
                                 full_height)
-    bounds = _tile_ndc_bounds(ti, tj, row_off_ref[0], image_width,
-                              full_height)
-    n_chunks = n_tri_padded // TRI_CHUNK
 
-    def chunk_body(c, carry):
-        data = tri_ref[0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]  # [C, 21]
+    # Binned loop: only this tile's candidate chunks (prepass _bin_chunks).
+    count = count_ref[0, 0, tj, 0]
 
-        def rasterize_chunk(carry):
-            best_z, best_id, best_b0, best_b1, best_b2 = carry
-            chunk_z, chunk_id, w0, w1, w2 = _rasterize_chunk_core(
-                data, px, py, TRI_CHUNK, c * TRI_CHUNK)
-            better = _merge_better(chunk_z, chunk_id, best_z, best_id)
-            best_z = jnp.where(better, chunk_z, best_z)
-            best_id = jnp.where(better, chunk_id, best_id)
-            best_b0 = jnp.where(better, jnp.sum(w0, axis=0), best_b0)
-            best_b1 = jnp.where(better, jnp.sum(w1, axis=0), best_b1)
-            best_b2 = jnp.where(better, jnp.sum(w2, axis=0), best_b2)
-            return best_z, best_id, best_b0, best_b1, best_b2
-
-        return jax.lax.cond(_chunk_hits_tile(data, bounds), rasterize_chunk,
-                            lambda cr: cr, carry)
+    def chunk_body(i, carry):
+        c = cand_ref[0, 0, tj, i]
+        start = c * TRI_CHUNK
+        data = tri_ref[0, pl.ds(start, TRI_CHUNK), :]  # [C, 21]
+        best_z, best_id, best_b0, best_b1, best_b2 = carry
+        chunk_z, chunk_id, w0, w1, w2 = _rasterize_chunk_core(
+            data, px, py, TRI_CHUNK, start)
+        better = _merge_better(chunk_z, chunk_id, best_z, best_id)
+        best_z = jnp.where(better, chunk_z, best_z)
+        best_id = jnp.where(better, chunk_id, best_id)
+        best_b0 = jnp.where(better, jnp.sum(w0, axis=0), best_b0)
+        best_b1 = jnp.where(better, jnp.sum(w1, axis=0), best_b1)
+        best_b2 = jnp.where(better, jnp.sum(w2, axis=0), best_b2)
+        return best_z, best_id, best_b0, best_b1, best_b2
 
     zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     init = (jnp.ones((TILE_H, TILE_W), jnp.float32),
             jnp.full((TILE_H, TILE_W), -1, jnp.int32),
             zeros, zeros, zeros)
     best_z, best_id, best_b0, best_b1, best_b2 = jax.lax.fori_loop(
-        0, n_chunks, chunk_body, init)
+        0, count, chunk_body, init)
 
     id_ref[0] = jnp.maximum(best_id, 0)
     b0_ref[0] = best_b0
@@ -274,6 +305,42 @@ def _pack_batched(clip_vertices, triangles, chunk):
 # VMEM; at 10k+ triangles that exceeds the conservative default scoped
 # limit, but v5e has far more physical VMEM.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+# Hard cap on the padded triangle count for the compiled kernels. All
+# per-triangle tables are VMEM-resident per batch element: lane-padded to
+# 128, the fused backward's worst case holds ~4 tables x 512 B/tri, and the
+# 100 MB budget above runs out near 48k. Larger meshes must fail LOUDLY
+# here rather than crash deep inside Mosaic allocation.
+MAX_PALLAS_TRIANGLES = 49152
+
+
+def _check_triangle_budget(n_triangles, interpret, kernel_name):
+    if interpret:  # interpreter mode has no VMEM to exhaust
+        return
+    if n_triangles > MAX_PALLAS_TRIANGLES:
+        raise ValueError(
+            f"{kernel_name}: {n_triangles} triangles exceeds the Pallas "
+            f"kernels' VMEM-resident table budget "
+            f"(MAX_PALLAS_TRIANGLES={MAX_PALLAS_TRIANGLES}). Render very "
+            "large meshes with the XLA backend "
+            "(HardRasterizerConfig(backend='xla')), which streams triangle "
+            "chunks through a scan and has no such limit.")
+
+
+def _bin_specs(n_cols, n_chunks):
+    """(count, candidates) SMEM block specs shared by all tile kernels.
+
+    One tile-ROW of lists per block (last two block dims must equal the
+    array dims on TPU — per-tile (1,1,1,n) blocks fail Mosaic's layout
+    check whenever the image spans more than one tile column); kernels
+    index the tile's own list with program_id(2).
+    """
+    count_spec = pl.BlockSpec((1, 1, n_cols, 1), lambda b, i, j: (b, i, 0, 0),
+                              memory_space=pltpu.SMEM)
+    cand_spec = pl.BlockSpec((1, 1, n_cols, n_chunks),
+                             lambda b, i, j: (b, i, 0, 0),
+                             memory_space=pltpu.SMEM)
+    return count_spec, cand_spec
 
 
 def _forward_from_packed(tri_data, row_offset, image_width, image_height,
@@ -297,19 +364,25 @@ def _forward_from_packed(tri_data, row_offset, image_width, image_height,
                             lambda b, i, j: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     row_off = jnp.asarray(row_offset, jnp.float32).reshape(1)
+    candidates, counts = _bin_chunks(tri_data, TRI_CHUNK, image_width,
+                                     image_height, row_offset, full_height)
+    count_spec, cand_spec = _bin_specs(
+        pl.cdiv(image_width, TILE_W), n_tri_padded // TRI_CHUNK)
 
     ids, b0, b1, b2, z = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # row offset scalar
+            count_spec,
+            cand_spec,
             tri_spec,
         ],
         out_specs=[tile_spec] * 5,
         out_shape=out_shape,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(row_off, tri_data)
+    )(row_off, counts, candidates, tri_data)
     bc = jnp.stack([b0, b1, b2], axis=-1)
     # Background contract: id 0, bc 0, z 1 (kernels' shared contract).
     return ids, bc, jnp.where(z > 1.0, 1.0, z)
@@ -379,15 +452,17 @@ def _bwd_chunk_core(data, mask, g0t, g1t, g2t, gb, bmat, chunk, n_pix,
         dcorner_ref[sl] = dcorner_ref[sl] + red
 
 
-def _bwd_kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
-                g0_ref, g1_ref, g2_ref, dcorner_ref, *, image_width,
-                image_height, full_height, n_tri_padded):
+def _bwd_kernel(row_off_ref, count_ref, cand_ref, tri_ref, id_ref, b0_ref,
+                b1_ref, b2_ref, g0_ref, g1_ref, g2_ref, dcorner_ref, *,
+                image_width, image_height, full_height, n_tri_padded):
     """Analytic backward as a per-tile reduction to a [T_pad, 9] table.
 
     The per-(triangle, corner, coord) sums accumulate per batch element
     (revisited across this batch element's consecutive tile steps); the
     host-side scatter into [V, 4] is then T-sized instead of
-    (H * W * 3)-sized.
+    (H * W * 3)-sized. The loop visits only the tile's binned candidate
+    chunks, refined by the tile's winner-id range (chunks no pixel in the
+    tile references are skipped even when their bbox overlaps).
     """
     ti = pl.program_id(1)
     tj = pl.program_id(2)
@@ -405,9 +480,10 @@ def _bwd_kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
     bmat = jnp.concatenate([b0.reshape(1, n_pix), b1.reshape(1, n_pix),
                             b2.reshape(1, n_pix)], axis=0)  # [3, P]
 
-    n_chunks = n_tri_padded // BWD_TRI_CHUNK
+    count = count_ref[0, 0, tj, 0]
 
-    def chunk_body(c, _):
+    def chunk_body(i, _):
+        c = cand_ref[0, 0, tj, i]
         hit = ((c * BWD_TRI_CHUNK <= tile_id_max) &
                ((c + 1) * BWD_TRI_CHUNK > tile_id_min))
 
@@ -420,10 +496,10 @@ def _bwd_kernel(row_off_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
                             BWD_TRI_CHUNK, n_pix, dcorner_ref, c)
             return 0
 
-        jax.lax.cond(jnp.any(hit), process, lambda _: 0, 0)
+        jax.lax.cond(hit, process, lambda _: 0, 0)
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    jax.lax.fori_loop(0, count, chunk_body, 0)
 
 
 def _scatter_corner_grads(dcorner, triangles, batch, vertex_count):
@@ -462,11 +538,17 @@ def _backward_pallas(tri_data, triangles, vertex_count, ids, bc, df_dbc,
                             lambda b, i, j: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     row_off = jnp.asarray(row_offset, jnp.float32).reshape(1)
+    candidates, counts = _bin_chunks(tri_data, BWD_TRI_CHUNK, image_width,
+                                     image_height, row_offset, full_height)
+    count_spec, cand_spec = _bin_specs(
+        pl.cdiv(image_width, TILE_W), n_tri_padded // BWD_TRI_CHUNK)
     dcorner = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            count_spec,
+            cand_spec,
             tri_spec,
         ] + [tile_spec] * 7,
         out_specs=[acc_spec],
@@ -474,8 +556,8 @@ def _backward_pallas(tri_data, triangles, vertex_count, ids, bc, df_dbc,
                                         jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(row_off, tri_data, ids, bc[..., 0], bc[..., 1], bc[..., 2],
-      df_dbc[..., 0], df_dbc[..., 1], df_dbc[..., 2])[0]
+    )(row_off, counts, candidates, tri_data, ids, bc[..., 0], bc[..., 1],
+      bc[..., 2], df_dbc[..., 0], df_dbc[..., 1], df_dbc[..., 2])[0]
     return _scatter_corner_grads(dcorner, triangles, batch, vertex_count)
 
 
@@ -536,10 +618,12 @@ def rasterize_barycentric_pallas_batched(clip_vertices, triangles,
         full_height = image_height
     if row_offset is None:
         row_offset = jnp.zeros((), jnp.int32)
+    interp = _default_interpret(interpret)
+    _check_triangle_budget(np.shape(triangles)[0], interp,
+                           "rasterize_barycentric_pallas")
     return _pallas_core(clip_vertices, jnp.asarray(triangles, jnp.int32),
                         jnp.asarray(row_offset, jnp.int32), int(image_width),
-                        int(image_height), int(full_height),
-                        _default_interpret(interpret))
+                        int(image_height), int(full_height), interp)
 
 
 def rasterize_barycentric_pallas(clip_vertices, triangles, image_width,
@@ -576,13 +660,13 @@ def _pack_corner_attributes(attributes, triangles, a_pad, n_tri_padded):
     return corner.reshape(batch, n_tri_padded, 3 * a_pad)
 
 
-def _kernel_fused(row_off_ref, tri_ref, attr_in_ref, id_ref, b0_ref, b1_ref,
-                  b2_ref, attr_ref, *, image_width, image_height,
-                  full_height, n_tri_padded, a_pad):
+def _kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
+                  id_ref, b0_ref, b1_ref, b2_ref, attr_ref, *, image_width,
+                  image_height, full_height, n_tri_padded, a_pad):
     """Forward tile kernel with in-tile attribute interpolation.
 
-    Same rasterization loop as _kernel plus a flat [a_pad, P] attribute
-    carry: each chunk's winning triangles contribute
+    Same binned rasterization loop as _kernel plus a flat [a_pad, P]
+    attribute carry: each chunk's winning triangles contribute
     sum_k (winner * b_k) @ corner_attrs_k via MXU matmuls, and the carry
     keeps the value from whichever chunk currently wins the z-test. The
     z-buffer lives only in the carry (no HBM output — the fused contract
@@ -594,41 +678,36 @@ def _kernel_fused(row_off_ref, tri_ref, attr_in_ref, id_ref, b0_ref, b1_ref,
     chunk = FUSED_TRI_CHUNK
     px, py = _tile_pixel_coords(ti, tj, row_off_ref[0], image_width,
                                 full_height)
-    bounds = _tile_ndc_bounds(ti, tj, row_off_ref[0], image_width,
-                              full_height)
-    n_chunks = n_tri_padded // chunk
+    count = count_ref[0, 0, tj, 0]
 
-    def chunk_body(c, carry):
-        data = tri_ref[0, pl.ds(c * chunk, chunk), :]  # [C, 21]
+    def chunk_body(i, carry):
+        c = cand_ref[0, 0, tj, i]
+        start = c * chunk
+        data = tri_ref[0, pl.ds(start, chunk), :]  # [C, 21]
+        best_z, best_id, best_b0, best_b1, best_b2, best_attr = carry
+        chunk_z, chunk_id, w0, w1, w2 = _rasterize_chunk_core(
+            data, px, py, chunk, start)
 
-        def rasterize_chunk(carry):
-            best_z, best_id, best_b0, best_b1, best_b2, best_attr = carry
-            chunk_z, chunk_id, w0, w1, w2 = _rasterize_chunk_core(
-                data, px, py, chunk, c * chunk)
+        ablk = attr_in_ref[0, pl.ds(start, chunk), :]
+        chunk_attr = jnp.zeros((a_pad, n_pix), jnp.float32)
+        for k, wk in enumerate((w0, w1, w2)):
+            ak = ablk[:, k * a_pad:(k + 1) * a_pad]  # [C, A]
+            chunk_attr = chunk_attr + jax.lax.dot_general(
+                ak, wk.reshape(chunk, n_pix),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_DOT_PRECISION)  # [A, P]
 
-            ablk = attr_in_ref[0, pl.ds(c * chunk, chunk), :]
-            chunk_attr = jnp.zeros((a_pad, n_pix), jnp.float32)
-            for k, wk in enumerate((w0, w1, w2)):
-                ak = ablk[:, k * a_pad:(k + 1) * a_pad]  # [C, A]
-                chunk_attr = chunk_attr + jax.lax.dot_general(
-                    ak, wk.reshape(chunk, n_pix),
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_DOT_PRECISION)  # [A, P]
-
-            better = _merge_better(chunk_z, chunk_id, best_z, best_id)
-            # Mosaic can't shape-cast i1 vectors; flatten as f32.
-            betterf = (better.astype(jnp.float32).reshape(1, n_pix) > 0.0)
-            best_z = jnp.where(better, chunk_z, best_z)
-            best_id = jnp.where(better, chunk_id, best_id)
-            best_b0 = jnp.where(better, jnp.sum(w0, axis=0), best_b0)
-            best_b1 = jnp.where(better, jnp.sum(w1, axis=0), best_b1)
-            best_b2 = jnp.where(better, jnp.sum(w2, axis=0), best_b2)
-            best_attr = jnp.where(betterf, chunk_attr, best_attr)
-            return (best_z, best_id, best_b0, best_b1, best_b2, best_attr)
-
-        return jax.lax.cond(_chunk_hits_tile(data, bounds), rasterize_chunk,
-                            lambda cr: cr, carry)
+        better = _merge_better(chunk_z, chunk_id, best_z, best_id)
+        # Mosaic can't shape-cast i1 vectors; flatten as f32.
+        betterf = (better.astype(jnp.float32).reshape(1, n_pix) > 0.0)
+        best_z = jnp.where(better, chunk_z, best_z)
+        best_id = jnp.where(better, chunk_id, best_id)
+        best_b0 = jnp.where(better, jnp.sum(w0, axis=0), best_b0)
+        best_b1 = jnp.where(better, jnp.sum(w1, axis=0), best_b1)
+        best_b2 = jnp.where(better, jnp.sum(w2, axis=0), best_b2)
+        best_attr = jnp.where(betterf, chunk_attr, best_attr)
+        return (best_z, best_id, best_b0, best_b1, best_b2, best_attr)
 
     zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     init = (jnp.ones((TILE_H, TILE_W), jnp.float32),
@@ -636,7 +715,7 @@ def _kernel_fused(row_off_ref, tri_ref, attr_in_ref, id_ref, b0_ref, b1_ref,
             zeros, zeros, zeros,
             jnp.zeros((a_pad, n_pix), jnp.float32))
     _, best_id, best_b0, best_b1, best_b2, best_attr = jax.lax.fori_loop(
-        0, n_chunks, chunk_body, init)
+        0, count, chunk_body, init)
 
     id_ref[0] = jnp.maximum(best_id, 0)
     b0_ref[0] = best_b0
@@ -677,12 +756,18 @@ def _forward_fused(tri_data, attr_packed, row_offset, image_width,
                                  lambda b, i, j: (b, 0, i, j),
                                  memory_space=pltpu.VMEM)
     row_off = jnp.asarray(row_offset, jnp.float32).reshape(1)
+    candidates, counts = _bin_chunks(tri_data, FUSED_TRI_CHUNK, image_width,
+                                     image_height, row_offset, full_height)
+    count_spec, cand_spec = _bin_specs(
+        pl.cdiv(image_width, TILE_W), n_tri_padded // FUSED_TRI_CHUNK)
 
     ids, b0, b1, b2, attrs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            count_spec,
+            cand_spec,
             tri_spec,
             attr_in_spec,
         ],
@@ -690,15 +775,15 @@ def _forward_fused(tri_data, attr_packed, row_offset, image_width,
         out_shape=out_shape,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(row_off, tri_data, attr_packed)
+    )(row_off, counts, candidates, tri_data, attr_packed)
     bc = jnp.stack([b0, b1, b2], axis=-1)
     return ids, bc, attrs
 
 
-def _bwd_kernel_fused(row_off_ref, tri_ref, attr_in_ref, id_ref, b0_ref,
-                      b1_ref, b2_ref, g0_ref, g1_ref, g2_ref, gattr_ref,
-                      dcorner_ref, dattr_ref, *, image_width, image_height,
-                      full_height, n_tri_padded, a_pad):
+def _bwd_kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
+                      id_ref, b0_ref, b1_ref, b2_ref, g0_ref, g1_ref, g2_ref,
+                      gattr_ref, dcorner_ref, dattr_ref, *, image_width,
+                      image_height, full_height, n_tri_padded, a_pad):
     """Fused backward: vertex-gradient table + attribute-gradient table.
 
     Extends _bwd_kernel's analytic chain with the interpolation VJP: the
@@ -728,9 +813,10 @@ def _bwd_kernel_fused(row_off_ref, tri_ref, attr_in_ref, id_ref, b0_ref,
     b2f = b2.reshape(1, n_pix)
     bmat = jnp.concatenate([b0f, b1f, b2f], axis=0)  # [3, P]
 
-    n_chunks = n_tri_padded // chunk
+    count = count_ref[0, 0, tj, 0]
 
-    def chunk_body(c, _):
+    def chunk_body(i, _):
+        c = cand_ref[0, 0, tj, i]
         hit = ((c * chunk <= tile_id_max) & ((c + 1) * chunk > tile_id_min))
 
         def process(_):
@@ -770,10 +856,10 @@ def _bwd_kernel_fused(row_off_ref, tri_ref, attr_in_ref, id_ref, b0_ref,
                 dattr_ref[sl] = dattr_ref[sl] + part
             return 0
 
-        jax.lax.cond(jnp.any(hit), process, lambda _: 0, 0)
+        jax.lax.cond(hit, process, lambda _: 0, 0)
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    jax.lax.fori_loop(0, count, chunk_body, 0)
 
 
 def _backward_fused(tri_data, attr_packed, triangles, vertex_count,
@@ -813,12 +899,19 @@ def _backward_fused(tri_data, attr_packed, triangles, vertex_count,
     gattr = jnp.moveaxis(df_dattr, -1, 1)
     gattr = jnp.pad(gattr,
                     [(0, 0), (0, a_pad - gattr.shape[1]), (0, 0), (0, 0)])
+    candidates, counts = _bin_chunks(
+        tri_data, FUSED_BWD_TRI_CHUNK, image_width, image_height,
+        row_offset, full_height)
+    count_spec, cand_spec = _bin_specs(
+        pl.cdiv(image_width, TILE_W), n_tri_padded // FUSED_BWD_TRI_CHUNK)
 
     dcorner, dattr_tab = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            count_spec,
+            cand_spec,
             tri_spec,
             attr_in_spec,
         ] + [tile_spec] * 7 + [gattr_spec],
@@ -829,8 +922,9 @@ def _backward_fused(tri_data, attr_packed, triangles, vertex_count,
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(row_off, tri_data, attr_packed, ids, bc[..., 0], bc[..., 1],
-      bc[..., 2], df_dbc[..., 0], df_dbc[..., 1], df_dbc[..., 2], gattr)
+    )(row_off, counts, candidates, tri_data, attr_packed, ids, bc[..., 0],
+      bc[..., 1], bc[..., 2], df_dbc[..., 0], df_dbc[..., 1],
+      df_dbc[..., 2], gattr)
 
     df_dvertices = _scatter_corner_grads(dcorner, triangles, batch,
                                          vertex_count)
@@ -911,8 +1005,11 @@ def rasterize_interpolate_pallas_batched(clip_vertices, attributes,
         full_height = image_height
     if row_offset is None:
         row_offset = jnp.zeros((), jnp.int32)
+    interp = _default_interpret(interpret)
+    _check_triangle_budget(np.shape(triangles)[0], interp,
+                           "rasterize_interpolate_pallas")
     return _pallas_interp_core(
         clip_vertices, jnp.asarray(attributes, jnp.float32),
         jnp.asarray(triangles, jnp.int32),
         jnp.asarray(row_offset, jnp.int32), int(image_width),
-        int(image_height), int(full_height), _default_interpret(interpret))
+        int(image_height), int(full_height), interp)

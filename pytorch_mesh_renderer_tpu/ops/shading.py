@@ -108,10 +108,13 @@ def tone_mapper(image, gamma):
     """Gamma correction with per-image max rescaling.
 
     Computes A * image**gamma with A chosen per image so the max value is
-    ~1, then clips to [0, 1]. Parity: render.py:389-419.
+    ~1, then clips to [0, 1]. Parity: render.py:389-419, hardened: an
+    all-black image (max 0, which would NaN under the reference's unguarded
+    divide) passes through unscaled.
     """
     batch_size = image.shape[0]
     corrected_image = jnp.power(image, gamma)
     image_max = jnp.max(corrected_image.reshape(batch_size, -1), axis=1)
-    scaled_image = corrected_image / image_max.reshape(batch_size, 1, 1, 1)
+    safe_max = jnp.where(image_max > 0.0, image_max, 1.0)
+    scaled_image = corrected_image / safe_max.reshape(batch_size, 1, 1, 1)
     return jnp.clip(scaled_image, 0.0, 1.0)

@@ -81,6 +81,27 @@ def _select_backend(cfg):
     return backend
 
 
+def _pallas_usable(blur_radius, backend):
+    """True when the Pallas soft backend can take these arguments.
+
+    Only blur_radius must be static (it shapes the packed bboxes);
+    sigma/gamma are traced SMEM params. A traced blur falls back to the XLA
+    scan with a LOUD warning (it is ~100x slower on TPU) — real bugs in the
+    Pallas path propagate instead of silently switching backends.
+    """
+    if not isinstance(blur_radius, jax.core.Tracer):
+        return True
+    import warnings
+
+    warnings.warn(
+        "soft rasterizer: blur_radius is a traced value, which the Pallas "
+        "backend cannot take (it shapes the packed triangle bboxes); "
+        f"falling back from backend='{backend}' to the ~100x-slower XLA "
+        "scan. Pass blur_radius as a static float to stay on the TPU "
+        "kernel.", RuntimeWarning, stacklevel=3)
+    return False
+
+
 def rasterize_batch(clip_space_vertices, triangles, world_space_vertices,
                     normals, diffuse_colors, light_positions,
                     light_intensities, image_width, image_height, sigma_val,
@@ -96,23 +117,19 @@ def rasterize_batch(clip_space_vertices, triangles, world_space_vertices,
 
     Backend: on TPU the tiled Pallas forward kernel
     (soft_rasterize_pallas.py) runs by default (~100x faster than the scan
-    formulation below); elsewhere, or when sigma/gamma/blur are traced
-    values, the XLA scan path runs.
+    formulation below; traced sigma/gamma stay on it without recompiles);
+    elsewhere, or when blur_radius is traced, the XLA scan path runs.
     """
     cfg = config or config_lib.SOFT_CONFIG
-    if _select_backend(cfg) == "pallas":
-        try:
-            from .soft_rasterize_pallas import rasterize_batch_pallas
-            return rasterize_batch_pallas(
-                clip_space_vertices, triangles, world_space_vertices,
-                normals, diffuse_colors, light_positions, light_intensities,
-                image_width, image_height, sigma_val, gamma_val,
-                blur_radius=blur_radius, row_offset=row_offset,
-                full_height=full_height)
-        except (ImportError, TypeError):
-            # Traced sigma/gamma/blur (they are static for the Pallas
-            # backend) or Pallas unavailable: use the XLA path.
-            pass
+    backend = _select_backend(cfg)
+    if backend == "pallas" and _pallas_usable(blur_radius, backend):
+        from .soft_rasterize_pallas import rasterize_batch_pallas
+        return rasterize_batch_pallas(
+            clip_space_vertices, triangles, world_space_vertices,
+            normals, diffuse_colors, light_positions, light_intensities,
+            image_width, image_height, sigma_val, gamma_val,
+            blur_radius=blur_radius, row_offset=row_offset,
+            full_height=full_height)
     tris = jnp.asarray(triangles, jnp.int32)
     tri_count = tris.shape[0]
     sq_blur = blur_radius ** 2
@@ -338,17 +355,15 @@ def rasterize_clip_space_batch(clip_space_vertices, triangles,
     XLA backend vmaps the per-mesh kernel.
     """
     cfg = config or config_lib.SOFT_CONFIG
-    if _select_backend(cfg) == "pallas":
-        try:
-            from .soft_rasterize_pallas import soft_rasterize_pallas_batched
-            return soft_rasterize_pallas_batched(
-                clip_space_vertices, triangles, world_space_vertices,
-                normals, diffuse_colors, light_positions, light_intensities,
-                image_width, image_height, sigma_val, gamma_val,
-                blur_radius=blur_radius, row_offset=row_offset,
-                full_height=full_height)
-        except (ImportError, TypeError):
-            pass  # traced sigma/gamma/blur or Pallas unavailable
+    backend = _select_backend(cfg)
+    if backend == "pallas" and _pallas_usable(blur_radius, backend):
+        from .soft_rasterize_pallas import soft_rasterize_pallas_batched
+        return soft_rasterize_pallas_batched(
+            clip_space_vertices, triangles, world_space_vertices,
+            normals, diffuse_colors, light_positions, light_intensities,
+            image_width, image_height, sigma_val, gamma_val,
+            blur_radius=blur_radius, row_offset=row_offset,
+            full_height=full_height)
 
     def one(clip_v, world_v, norms, colors, lights, intensities):
         return rasterize_batch(

@@ -5,8 +5,11 @@ TPU-native equivalent of the original SoftRas CUDA forward/backward pair
 /root/reference/src/soft_mesh_renderer/README.md:7, per-pixel loop at
 src/soft_mesh_renderer/rasterize.py:309-418, backward via torch autograd).
 Same layout as the hard Pallas kernel (rasterize_pallas.py): image tiles on
-the grid, per-tile accumulators in VMEM, triangle data streamed in chunks
-with chunk-level bbox culling replacing the quadtree (SURVEY.md §5).
+the grid, per-tile accumulators in VMEM, and **per-tile binning** replacing
+the quadtree (SURVEY.md §5): an XLA prepass (_bin_chunks) intersects
+chunk-level unions of the blur-inflated bboxes with every tile and emits
+fixed-shape candidate lists + counts; each tile loops only over its own
+candidates (dynamic fori_loop bound from an SMEM-resident list).
 
 Forward fuses the whole SoftRas chain per (pixel, triangle): screen
 barycentrics, nearest-edge fallback (rasterize.py:144-176),
@@ -50,10 +53,11 @@ from . import soft_rasterize as soft_xla
 
 TILE_H = 16
 TILE_W = 128
-# (16, 128) tiles + chunk 32 measured fastest at the headline 128^2 config
-# with the matmul column reductions (284 renders/s vs 233 at (32, 128));
-# within ~6% of the best setting at 256^2.
-TRI_CHUNK = 32
+# (16, 128) tiles. Chunk size doubles as the binning granularity
+# (candidate lists are chunk-aligned); with per-tile binning, chunk 16
+# measured fastest at the 128^2 teapot fwd+bwd (284 vs 261 renders/s at
+# 32 on v5e).
+TRI_CHUNK = 16
 _COLS = 53
 EPS = soft_xla.EPS
 _NEG_BIG = -1e30
@@ -62,6 +66,12 @@ _NEG_BIG = -1e30
 # 10k+ triangles that exceeds the conservative default scoped limit, but
 # v5e has far more physical VMEM.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+# Hard cap on triangle count for the compiled soft kernels — the [T, 53]
+# table and its [T, 53] gradient accumulator are VMEM-resident per batch
+# element (lane-padded to 128: ~512 B/tri each). Larger meshes fail loudly
+# with a pointer at the streaming XLA backend.
+MAX_PALLAS_TRIANGLES = 49152
 
 
 def _pack_triangle_data(clip_space_vertices, triangles, world_space_vertices,
@@ -155,12 +165,56 @@ def _tile_coords(ti, tj, row_off, image_width, full_height):
     return px, py
 
 
-def _tile_bounds(ti, tj, row_off, image_width, full_height):
-    tile_min_x = (tj * TILE_W) * (2.0 / image_width) - 1.0
-    tile_max_x = ((tj + 1) * TILE_W) * (2.0 / image_width) - 1.0
-    tile_max_y = -(ti * TILE_H + row_off) * (2.0 / full_height) + 1.0
-    tile_min_y = -((ti + 1) * TILE_H + row_off) * (2.0 / full_height) + 1.0
-    return tile_min_x, tile_max_x, tile_min_y, tile_max_y
+def _bin_chunks(tri_data, image_width, image_height, row_offset,
+                full_height):
+    """Per-tile candidate chunk lists (per-tile binning, SURVEY.md §5).
+
+    Soft variant of rasterize_pallas._bin_chunks: chunk-level unions of the
+    blur-inflated NDC bboxes (cols 22-25, keep gate col 21) intersected with
+    every tile; the soft pixel grid addresses rows top-down. Returns
+    (candidates [B, R, C, n_chunks] i32 — hits first, ascending; counts
+    [B, R, C, 1] i32).
+    """
+    batch, t_pad, _ = tri_data.shape
+    n_chunks = t_pad // TRI_CHUNK
+    n_rows = pl.cdiv(image_height, TILE_H)
+    n_cols = pl.cdiv(image_width, TILE_W)
+    per_tri = tri_data[:, :, 21:26].reshape(batch, n_chunks, TRI_CHUNK, 5)
+    live = per_tri[..., 0] > 0.0
+    inf = jnp.float32(np.inf)
+    cmin_x = jnp.min(jnp.where(live, per_tri[..., 1], inf), axis=2)
+    cmax_x = jnp.max(jnp.where(live, per_tri[..., 2], -inf), axis=2)
+    cmin_y = jnp.min(jnp.where(live, per_tri[..., 3], inf), axis=2)
+    cmax_y = jnp.max(jnp.where(live, per_tri[..., 4], -inf), axis=2)
+
+    row_off = jnp.asarray(row_offset, jnp.float32)
+    ti = jnp.arange(n_rows, dtype=jnp.float32)
+    tj = jnp.arange(n_cols, dtype=jnp.float32)
+    tmax_y = -(ti * TILE_H + row_off) * (2.0 / full_height) + 1.0
+    tmin_y = -((ti + 1) * TILE_H + row_off) * (2.0 / full_height) + 1.0
+    tmin_x = tj * TILE_W * (2.0 / image_width) - 1.0
+    tmax_x = (tj + 1) * TILE_W * (2.0 / image_width) - 1.0
+
+    hit = ((cmin_x[:, None, None, :] <= tmax_x[None, None, :, None]) &
+           (cmax_x[:, None, None, :] >= tmin_x[None, None, :, None]) &
+           (cmin_y[:, None, None, :] <= tmax_y[None, :, None, None]) &
+           (cmax_y[:, None, None, :] >= tmin_y[None, :, None, None]))
+    counts = jnp.sum(hit, axis=-1, dtype=jnp.int32)[..., None]
+    candidates = jnp.argsort(~hit, axis=-1, stable=True).astype(jnp.int32)
+    return candidates, counts
+
+
+def _bin_specs(n_cols, n_chunks):
+    # One tile-ROW of lists per block: Mosaic requires the last two block
+    # dims to equal the array dims (or be (8, 128)-divisible), so per-tile
+    # (1, 1, 1, n) blocks are rejected whenever the image spans more than
+    # one tile column. Kernels index their list with program_id(2).
+    count_spec = pl.BlockSpec((1, 1, n_cols, 1), lambda b, i, j: (b, i, 0, 0),
+                              memory_space=pltpu.SMEM)
+    cand_spec = pl.BlockSpec((1, 1, n_cols, n_chunks),
+                             lambda b, i, j: (b, i, 0, 0),
+                             memory_space=pltpu.SMEM)
+    return count_spec, cand_spec
 
 
 def _chunk_forward(data, px, py, light, sigma, gamma, sq_blur,
@@ -263,9 +317,10 @@ def _chunk_forward(data, px, py, light, sigma, gamma, sq_blur,
     return q
 
 
-def _fwd_kernel(params_ref, lights_ref, tri_ref, rgb0_ref, rgb1_ref,
-                rgb2_ref, alpha_ref, max_ref, sumw_ref, *, image_width,
-                image_height, full_height, n_tri_padded, n_lights):
+def _fwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
+                rgb0_ref, rgb1_ref, rgb2_ref, alpha_ref, max_ref, sumw_ref,
+                *, image_width, image_height, full_height, n_tri_padded,
+                n_lights):
     # Grid: (batch, tile_row, tile_col) — the whole mesh batch renders in
     # one pallas_call; never vmap these kernels.
     ti = pl.program_id(1)
@@ -279,46 +334,36 @@ def _fwd_kernel(params_ref, lights_ref, tri_ref, rgb0_ref, rgb1_ref,
     row_off = params_ref[3]
 
     px, py = _tile_coords(ti, tj, row_off, image_width, full_height)
-    tmin_x, tmax_x, tmin_y, tmax_y = _tile_bounds(
-        ti, tj, row_off, image_width, full_height)
-    n_chunks = n_tri_padded // TRI_CHUNK
+    count = count_ref[0, 0, tj, 0]
 
-    def chunk_body(c, carry):
+    def chunk_body(i, carry):
+        c = cand_ref[0, 0, tj, i]
         run_max, sum_w, sum_r, sum_g, sum_b, sil = carry
         data = tri_ref[0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]
-        hit = ((data[:, 22] <= tmax_x) & (data[:, 23] >= tmin_x) &
-               (data[:, 24] <= tmax_y) & (data[:, 25] >= tmin_y) &
-               (data[:, 21] > 0.0))
-
-        def process(carry):
-            run_max, sum_w, sum_r, sum_g, sum_b, sil = carry
-            q = _chunk_forward(data, px, py, light, sigma, gamma,
-                               sq_blur, n_lights)
-            coverage, logit = q["coverage"], q["logit"]
-            chunk_max = jnp.max(logit, axis=0)
-            new_max = jnp.maximum(run_max, chunk_max)
-            scale = jnp.exp(run_max - new_max)
-            expw = coverage * jnp.exp(logit - new_max[None])
-            sum_w = sum_w * scale + jnp.sum(expw, axis=0)
-            sum_r = sum_r * scale + jnp.sum(expw * q["shade_r"], axis=0)
-            sum_g = sum_g * scale + jnp.sum(expw * q["shade_g"], axis=0)
-            sum_b = sum_b * scale + jnp.sum(expw * q["shade_b"], axis=0)
-            one_minus = 1.0 - coverage
-            factor = one_minus[0]
-            for i in range(1, TRI_CHUNK):
-                factor = factor * one_minus[i]
-            sil = sil * factor
-            return new_max, sum_w, sum_r, sum_g, sum_b, sil
-
-        return jax.lax.cond(jnp.any(hit), process, lambda cr: cr,
-                            (run_max, sum_w, sum_r, sum_g, sum_b, sil))
+        q = _chunk_forward(data, px, py, light, sigma, gamma,
+                           sq_blur, n_lights)
+        coverage, logit = q["coverage"], q["logit"]
+        chunk_max = jnp.max(logit, axis=0)
+        new_max = jnp.maximum(run_max, chunk_max)
+        scale = jnp.exp(run_max - new_max)
+        expw = coverage * jnp.exp(logit - new_max[None])
+        sum_w = sum_w * scale + jnp.sum(expw, axis=0)
+        sum_r = sum_r * scale + jnp.sum(expw * q["shade_r"], axis=0)
+        sum_g = sum_g * scale + jnp.sum(expw * q["shade_g"], axis=0)
+        sum_b = sum_b * scale + jnp.sum(expw * q["shade_b"], axis=0)
+        one_minus = 1.0 - coverage
+        factor = one_minus[0]
+        for k in range(1, TRI_CHUNK):
+            factor = factor * one_minus[k]
+        sil = sil * factor
+        return new_max, sum_w, sum_r, sum_g, sum_b, sil
 
     zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     init = (jnp.full((TILE_H, TILE_W), EPS / gamma, jnp.float32),
             zeros, zeros, zeros, zeros,
             jnp.ones((TILE_H, TILE_W), jnp.float32))
     run_max, sum_w, sum_r, sum_g, sum_b, sil = jax.lax.fori_loop(
-        0, n_chunks, chunk_body, init)
+        0, count, chunk_body, init)
 
     bg = jnp.maximum(jnp.exp(EPS / gamma - run_max), EPS)
     inv_total = 1.0 / (sum_w + bg)
@@ -330,10 +375,11 @@ def _fwd_kernel(params_ref, lights_ref, tri_ref, rgb0_ref, rgb1_ref,
     sumw_ref[0] = sum_w
 
 
-def _bwd_kernel(params_ref, lights_ref, tri_ref, max_ref, sumw_ref, sil_ref,
-                rgb0_ref, rgb1_ref, rgb2_ref, dr_ref, dg_ref, db_ref,
-                da_ref, ddata_ref, dlights_ref, *, image_width, image_height,
-                full_height, n_tri_padded, n_lights):
+def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
+                max_ref, sumw_ref, sil_ref, rgb0_ref, rgb1_ref, rgb2_ref,
+                dr_ref, dg_ref, db_ref, da_ref, ddata_ref, dlights_ref,
+                dparams_ref, *, image_width, image_height, full_height,
+                n_tri_padded, n_lights):
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     sigma = params_ref[0]
@@ -350,11 +396,9 @@ def _bwd_kernel(params_ref, lights_ref, tri_ref, max_ref, sumw_ref, sil_ref,
     def _init():
         ddata_ref[:] = jnp.zeros_like(ddata_ref)
         dlights_ref[:] = jnp.zeros_like(dlights_ref)
+        dparams_ref[:] = jnp.zeros_like(dparams_ref)
 
     px, py = _tile_coords(ti, tj, row_off, image_width, full_height)
-    tmin_x, tmax_x, tmin_y, tmax_y = _tile_bounds(
-        ti, tj, row_off, image_width, full_height)
-    n_chunks = n_tri_padded // TRI_CHUNK
 
     # Tiles at the image boundary are padded; the padded region of the
     # residual/cotangent blocks is uninitialized memory. Mask it to neutral
@@ -408,11 +452,17 @@ def _bwd_kernel(params_ref, lights_ref, tri_ref, max_ref, sumw_ref, sil_ref,
         sl = (0, pl.ds(l, 1), pl.ds(comp, 1))
         dlights_ref[sl] = dlights_ref[sl] + red
 
-    def chunk_body(c, _):
+    def acc_param(comp, val):
+        red = jnp.sum(jnp.sum(jnp.sum(val, axis=2), axis=1, keepdims=True),
+                      axis=0, keepdims=True)  # [1, 1]
+        sl = (0, pl.ds(0, 1), pl.ds(comp, 1))
+        dparams_ref[sl] = dparams_ref[sl] + red
+
+    count = count_ref[0, 0, tj, 0]
+
+    def chunk_body(i, _):
+        c = cand_ref[0, 0, tj, i]
         data = tri_ref[0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]
-        hit = ((data[:, 22] <= tmax_x) & (data[:, 23] >= tmin_x) &
-               (data[:, 24] <= tmax_y) & (data[:, 25] >= tmin_y) &
-               (data[:, 21] > 0.0))
 
         def process(_):
             def col(k):
@@ -441,6 +491,20 @@ def _bwd_kernel(params_ref, lights_ref, tri_ref, max_ref, sumw_ref, sil_ref,
 
             # depth path: dW/dl = W; z = 0.5 - z_ndc/2; l = z/gamma.
             dz_ndc = common * W / gamma * (-0.5)
+
+            # sigma / gamma gradients (sigma and gamma are traced SMEM
+            # params so annealing schedules run without recompiles):
+            #   x = sgn*d^2/sigma  =>  dx/dsigma = -x/sigma, and the
+            #   cotangent of x is dsq*sigma/sgn, so dsigma = -dsq*d^2/sigma;
+            #   l = z/gamma  =>  dgamma = (common*W)*(-z/gamma^2)
+            #                           = 2*dz_ndc*z/gamma.
+            # The background weight's own gamma dependence
+            # (bg ~ exp(EPS/gamma - m), EPS = 1e-10) is dropped — it is
+            # O(EPS/gamma^2) relative and vanishes wherever any triangle
+            # covers the pixel.
+            acc_param(0, -dsq * q["sq_dist"] / sigma)
+            acc_param(1, 2.0 * dz_ndc * q["z"] / gamma)
+
             dsb0 = dz_ndc * col(15)
             dsb1 = dz_ndc * col(16)
             dsb2 = dz_ndc * col(17)
@@ -581,14 +645,14 @@ def _bwd_kernel(params_ref, lights_ref, tri_ref, max_ref, sumw_ref, sil_ref,
                 acc(c, cby, db_ty + db_sy)
             return 0
 
-        jax.lax.cond(jnp.any(hit), process, lambda _: 0, 0)
+        process(0)
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    jax.lax.fori_loop(0, count, chunk_body, 0)
 
 
-def _run_forward(tri_data, lights, params, image_width, image_height,
-                 full_height, n_lights, interpret):
+def _run_forward(tri_data, lights, params, row_offset, image_width,
+                 image_height, full_height, n_lights, interpret):
     """Batched forward: tri_data [B, T_pad, 53], lights [B, L, 4]."""
     batch, n_tri_padded, _ = tri_data.shape
     grid = (batch, pl.cdiv(image_height, TILE_H),
@@ -605,6 +669,10 @@ def _run_forward(tri_data, lights, params, image_width, image_height,
                             memory_space=pltpu.VMEM)
     lights_spec = pl.BlockSpec((1, n_lights, 4), lambda b, i, j: (b, 0, 0),
                                memory_space=pltpu.SMEM)
+    candidates, counts = _bin_chunks(tri_data, image_width, image_height,
+                                     row_offset, full_height)
+    count_spec, cand_spec = _bin_specs(
+        pl.cdiv(image_width, TILE_W), n_tri_padded // TRI_CHUNK)
     out_shape = [jax.ShapeDtypeStruct(
         (batch, image_height, image_width), jnp.float32)] * 6
     return pl.pallas_call(
@@ -613,17 +681,19 @@ def _run_forward(tri_data, lights, params, image_width, image_height,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sigma/gamma/blur/row
             lights_spec,
+            count_spec,
+            cand_spec,
             tri_spec,
         ],
         out_specs=[tile_spec] * 6,
         out_shape=out_shape,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(params, lights, tri_data)
+    )(params, lights, counts, candidates, tri_data)
 
 
-def _run_backward(tri_data, lights, params, run_max, sum_w, sil, rgb,
-                  cotangent, image_width, image_height, full_height,
+def _run_backward(tri_data, lights, params, row_offset, run_max, sum_w, sil,
+                  rgb, cotangent, image_width, image_height, full_height,
                   n_lights, interpret):
     """Batched backward: [B, ...] residuals -> (ddata [B, T, 53],
     dlights [B, L, 4])."""
@@ -648,25 +718,35 @@ def _run_backward(tri_data, lights, params, run_max, sum_w, sil, rgb,
     acc_spec_lights = pl.BlockSpec((1, n_lights, 4),
                                    lambda b, i, j: (b, 0, 0),
                                    memory_space=pltpu.VMEM)
-    ddata, dlights = pl.pallas_call(
+    acc_spec_params = pl.BlockSpec((1, 1, 8),
+                                   lambda b, i, j: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    candidates, counts = _bin_chunks(tri_data, image_width, image_height,
+                                     row_offset, full_height)
+    count_spec, cand_spec = _bin_specs(
+        pl.cdiv(image_width, TILE_W), n_tri_padded // TRI_CHUNK)
+    ddata, dlights, dparams = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             lights_spec,
+            count_spec,
+            cand_spec,
             tri_spec,
         ] + [tile_spec] * 10,
-        out_specs=[acc_spec_data, acc_spec_lights],
+        out_specs=[acc_spec_data, acc_spec_lights, acc_spec_params],
         out_shape=[
             jax.ShapeDtypeStruct((batch, n_tri_padded, _COLS), jnp.float32),
             jax.ShapeDtypeStruct((batch, n_lights, 4), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 1, 8), jnp.float32),
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(params, lights, tri_data, run_max, sum_w, sil, rgb[..., 0],
-      rgb[..., 1], rgb[..., 2], cotangent[..., 0], cotangent[..., 1],
-      cotangent[..., 2], cotangent[..., 3])
-    return ddata, dlights
+    )(params, lights, counts, candidates, tri_data, run_max, sum_w, sil,
+      rgb[..., 0], rgb[..., 1], rgb[..., 2], cotangent[..., 0],
+      cotangent[..., 1], cotangent[..., 2], cotangent[..., 3])
+    return ddata, dlights, dparams
 
 
 def _make_params(sigma_val, gamma_val, blur_radius, row_offset):
@@ -682,21 +762,22 @@ _pack_batched = jax.vmap(_pack_triangle_data,
                          in_axes=(0, None, 0, 0, 0, None))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
 def _soft_pallas_core(clip_space_vertices, triangles, world_space_vertices,
                       normals, diffuse_colors, light_positions,
-                      light_intensities, row_offset, image_width,
-                      image_height, sigma_val, gamma_val, blur_radius,
+                      light_intensities, row_offset, sigma_val, gamma_val,
+                      image_width, image_height, blur_radius,
                       full_height, interpret):
     out, _ = _fwd(clip_space_vertices, triangles, world_space_vertices,
                   normals, diffuse_colors, light_positions,
-                  light_intensities, row_offset, image_width, image_height,
-                  sigma_val, gamma_val, blur_radius, full_height, interpret)
+                  light_intensities, row_offset, sigma_val, gamma_val,
+                  image_width, image_height, blur_radius, full_height,
+                  interpret)
     return out
 
 
 def _fwd(clip_v, triangles, world_v, normals, colors, lights, intensities,
-         row_offset, image_width, image_height, sigma_val, gamma_val,
+         row_offset, sigma_val, gamma_val, image_width, image_height,
          blur_radius, full_height, interpret):
     tri_data = _pack_batched(clip_v, triangles, world_v, normals, colors,
                              blur_radius)
@@ -705,23 +786,24 @@ def _fwd(clip_v, triangles, world_v, normals, colors, lights, intensities,
          jnp.asarray(intensities, jnp.float32)[..., None]], axis=-1)
     params = _make_params(sigma_val, gamma_val, blur_radius, row_offset)
     r, g, b, a, run_max, sum_w = _run_forward(
-        tri_data, lights_packed, params, image_width, image_height,
-        full_height, lights.shape[-2], interpret)
+        tri_data, lights_packed, params, row_offset, image_width,
+        image_height, full_height, lights.shape[-2], interpret)
     out = jnp.stack([r, g, b, a], axis=-1)
     residuals = (triangles, jax.lax.stop_gradient(tri_data),
-                 jax.lax.stop_gradient(lights_packed), params, run_max,
+                 jax.lax.stop_gradient(lights_packed),
+                 jax.lax.stop_gradient(params), run_max,
                  sum_w, jnp.stack([r, g, b], axis=-1), a,
                  clip_v, world_v, normals, colors)
     return out, residuals
 
 
-def _bwd(image_width, image_height, sigma_val, gamma_val, blur_radius,
-         full_height, interpret, residuals, cotangent):
+def _bwd(image_width, image_height, blur_radius, full_height, interpret,
+         residuals, cotangent):
     (triangles, tri_data, lights_packed, params, run_max, sum_w, rgb, alpha,
      clip_v, world_v, normals, colors) = residuals
-    ddata, dlights_packed = _run_backward(
-        tri_data, lights_packed, params, run_max, sum_w, 1.0 - alpha, rgb,
-        cotangent, image_width, image_height, full_height,
+    ddata, dlights_packed, dparams = _run_backward(
+        tri_data, lights_packed, params, params[3], run_max, sum_w,
+        1.0 - alpha, rgb, cotangent, image_width, image_height, full_height,
         lights_packed.shape[-2], interpret)
     # Transpose the (cheap) packing to reach clip vertices and attributes.
     _, pack_vjp = jax.vjp(
@@ -731,10 +813,12 @@ def _bwd(image_width, image_height, sigma_val, gamma_val, blur_radius,
     dclip, dworld, dnormals, dcolors = pack_vjp(ddata)
     dlight_pos = dlights_packed[..., :3]
     dlight_int = dlights_packed[..., 3]
+    dsigma = jnp.sum(dparams[:, 0, 0])
+    dgamma = jnp.sum(dparams[:, 0, 1])
     tri_cot = np.zeros(np.shape(triangles), dtype=jax.dtypes.float0)
     row_cot = np.zeros((), dtype=jax.dtypes.float0)
     return (dclip, tri_cot, dworld, dnormals, dcolors, dlight_pos,
-            dlight_int, row_cot)
+            dlight_int, row_cot, dsigma, dgamma)
 
 
 _soft_pallas_core.defvjp(
@@ -764,20 +848,38 @@ def soft_rasterize_pallas_batched(clip_space_vertices, triangles,
     / normals / colors [B, V, 3], lights [B, L, 3], intensities [B, L]);
     the whole batch runs in one pallas_call with batch as the leading grid
     dimension (do NOT vmap over this function — batching is native).
-    sigma/gamma/blur are static floats for this backend; use the XLA
-    backend to differentiate w.r.t. them.
+    sigma/gamma are traced f32 scalars (annealing schedules under jit stay
+    on this kernel without recompiles) and are differentiable; only
+    blur_radius must be a static float (it shapes the packed bboxes).
     """
     if full_height is None:
         full_height = image_height
     if row_offset is None:
         row_offset = jnp.zeros((), jnp.int32)
+    if isinstance(blur_radius, jax.core.Tracer):
+        raise TypeError(
+            "blur_radius must be a static float for the Pallas soft "
+            "rasterizer (it shapes the packed triangle bboxes); sigma/gamma "
+            "may be traced. Use the XLA backend "
+            "(SoftRasterizerConfig(backend='xla')) to trace blur_radius.")
+    interp = _default_interpret(interpret)
+    if not interp and np.shape(triangles)[0] > MAX_PALLAS_TRIANGLES:
+        raise ValueError(
+            f"soft_rasterize_pallas: {np.shape(triangles)[0]} triangles "
+            f"exceeds the VMEM-resident table budget "
+            f"(MAX_PALLAS_TRIANGLES={MAX_PALLAS_TRIANGLES}). Render very "
+            "large meshes with the XLA backend "
+            "(SoftRasterizerConfig(backend='xla')), which streams triangle "
+            "chunks through a scan.")
+    interpret = interp
     return _soft_pallas_core(
         clip_space_vertices, jnp.asarray(triangles, jnp.int32),
         world_space_vertices, normals, diffuse_colors, light_positions,
         light_intensities, jnp.asarray(row_offset, jnp.int32),
-        int(image_width), int(image_height), float(sigma_val),
-        float(gamma_val), float(blur_radius), int(full_height),
-        _default_interpret(interpret))
+        jnp.asarray(sigma_val, jnp.float32), jnp.asarray(gamma_val,
+                                                         jnp.float32),
+        int(image_width), int(image_height), float(blur_radius),
+        int(full_height), interpret)
 
 
 def rasterize_batch_pallas(clip_space_vertices, triangles,

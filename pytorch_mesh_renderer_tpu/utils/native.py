@@ -34,6 +34,7 @@ class _ObjMesh(ctypes.Structure):
         ("faces", ctypes.POINTER(ctypes.c_int)),
         ("face_count", ctypes.c_long),
         ("face_normal_ids", ctypes.POINTER(ctypes.c_int)),
+        ("skipped_face_vertices", ctypes.c_long),
         ("error", ctypes.c_char * 256),
     ]
 
@@ -84,11 +85,17 @@ def parse_obj(path: str):
     if lib is None:
         return None
     mesh_p = lib.meshops_load_obj(path.encode())
+    if not mesh_p:  # calloc failure in the library
+        return None
     try:
         mesh = mesh_p.contents
         err = bytes(mesh.error).split(b"\0", 1)[0]
         if err:
             raise IOError(err.decode())
+        if mesh.skipped_face_vertices:
+            print(f"warning: obj file has faces with more than 3 vertices; "
+                  f"{mesh.skipped_face_vertices} face vertices were dropped",
+                  file=sys.stderr)
         v = np.ctypeslib.as_array(
             mesh.vertices, shape=(mesh.vertex_count, 3)).copy()
         faces = np.ctypeslib.as_array(

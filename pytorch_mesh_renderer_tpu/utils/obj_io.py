@@ -146,6 +146,14 @@ def save_obj(filename: str, vertices, faces, normals=None) -> None:
     with open(filename, "w") as f:
         for vertex in vertices:
             f.write("v {} {} {}\n".format(vertex[0], vertex[1], vertex[2]))
+        # vn records come BEFORE the f records that reference them: strict
+        # streaming OBJ readers reject forward references (the reference
+        # writer emits them after, obj_utils.py:109-111 — a quirk not worth
+        # preserving; our loader accepts either order).
+        if normals is not None:
+            for normal in normals:
+                f.write("vn {} {} {}\n".format(normal[0], normal[1],
+                                               normal[2]))
         for face in faces:
             if normals is not None:
                 f.write("f {}//{} {}//{} {}//{}\n".format(
@@ -154,7 +162,3 @@ def save_obj(filename: str, vertices, faces, normals=None) -> None:
             else:
                 f.write("f {} {} {}\n".format(
                     face[0] + 1, face[1] + 1, face[2] + 1))
-        if normals is not None:
-            for normal in normals:
-                f.write("vn {} {} {}\n".format(normal[0], normal[1],
-                                               normal[2]))

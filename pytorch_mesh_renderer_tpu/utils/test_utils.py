@@ -117,14 +117,18 @@ def check_jacobians_are_nearly_equal(theoretical, numerical,
                                      max_outlier_fraction):
     """Compare Jacobians allowing a fraction of relative-error outliers.
 
-    Parity: test_utils.py:12-51 (note: like the reference, entries where the
-    numerical Jacobian is zero but the theoretical is not count as outliers
-    via the inf relative error).
+    Parity: test_utils.py:12-51 (entries where the numerical Jacobian is
+    zero but the theoretical is not count as outliers via the inf relative
+    error). Strictly stronger than the reference: the denominator is
+    |numerical| — the reference divides by the *signed* value
+    (test_utils.py:27), which lets sign-flipped analytic entries at negative
+    numerical values produce a negative "relative error" that never trips
+    the threshold.
     """
     theoretical = np.asarray(theoretical, np.float64)
     numerical = np.asarray(numerical, np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
-        rel = np.abs(numerical - theoretical) / numerical
+        rel = np.abs(numerical - theoretical) / np.abs(numerical)
     outliers = rel > outlier_relative_error_threshold
     outlier_fraction = (
         np.count_nonzero(outliers) / np.prod(numerical.shape[:2]))

@@ -101,12 +101,20 @@ def main():
     dt = time.perf_counter() - t0
     renders_per_sec = batch * iters / dt
 
+    # The python-kernel fallback measures a different (64^2 batch-1) config;
+    # writing it under the 256^2 key would silently corrupt every
+    # vs_baseline bench.py computes. Use a config-specific key instead so
+    # bench.py (which only reads the 256^2 key) never divides by a
+    # mismatched anchor.
+    key = ("hard_teapot_256_fwdbwd_renders_per_sec" if backend == "cpp"
+           else "hard_teapot_64_b1_python_fwdbwd_renders_per_sec")
     result = {
-        "hard_teapot_256_fwdbwd_renders_per_sec": renders_per_sec,
+        key: renders_per_sec,
         "backend": backend,
         "config": {"size": size, "batch": batch, "iters": iters},
         "note": ("measured on this image's CPU; python-kernel fallback "
-                 "measures a smaller config and reports it unscaled"
+                 "measures a 64^2 batch-1 config under its own key — it is "
+                 "NOT comparable to the 256^2 C++ anchor"
                  if backend == "python" else
                  "reference fastest path (C++ CppExtension kernel)"),
     }

@@ -8,22 +8,39 @@ TPU separately). Must run before jax is imported anywhere.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+# Set MESH_RENDERER_TEST_PLATFORM=native to skip the CPU forcing and run the
+# suite compiled on the host's real backend (e.g. TPU: Pallas kernels compile
+# through Mosaic instead of the interpreter). Tests that need 8 devices skip
+# themselves when fewer exist.
+_NATIVE = os.environ.get("MESH_RENDERER_TEST_PLATFORM", "") == "native"
+if not _NATIVE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
 
-# Some environments register an external TPU plugin that wins the default-
-# backend choice even when JAX_PLATFORMS=cpu is set; the config update below
-# forces the CPU backend regardless.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _NATIVE:
+    # Some environments register an external TPU plugin that wins the
+    # default-backend choice even when JAX_PLATFORMS=cpu is set; the config
+    # update below forces the CPU backend regardless.
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REFERENCE_ROOT = os.environ.get("MESH_RENDERER_REFERENCE", "/root/reference")
+
+# Vendored test data: golden PNGs (copied once from the reference's
+# src/mesh_renderer/test_data) and .npz snapshots of reference-oracle
+# outputs, so a standalone clone runs the full suite with zero skips.
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "golden")
+ORACLE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "oracle")
+ASSETS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "assets")
 
 
 def reference_available() -> bool:
@@ -43,3 +60,29 @@ def import_reference():
         sys.path.insert(0, REFERENCE_ROOT)
     import src  # noqa: F401
     return src
+
+
+def oracle_snapshot(name, compute):
+    """Reference-oracle outputs with a vendored fallback.
+
+    When the reference checkout is importable, `compute()` runs it live
+    (dict of numpy arrays) and the result is (re)vendored to
+    tests/oracle/<name>.npz; otherwise the snapshot is loaded so standalone
+    clones still execute every oracle assertion — a missing snapshot is a
+    hard failure, never a skip.
+    """
+    import numpy as np
+
+    path = os.path.join(ORACLE_DIR, name + ".npz")
+    if reference_available():
+        arrays = {k: np.asarray(v) for k, v in compute().items()}
+        os.makedirs(ORACLE_DIR, exist_ok=True)
+        np.savez_compressed(path, **arrays)
+        return arrays
+    if not os.path.exists(path):
+        raise AssertionError(
+            f"oracle snapshot {path} is missing and the reference checkout "
+            "is unavailable; regenerate it by running the suite once with "
+            "MESH_RENDERER_REFERENCE set.")
+    with np.load(path) as data:
+        return {k: data[k] for k in data.files}

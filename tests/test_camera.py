@@ -8,10 +8,7 @@ import jax.numpy as jnp
 
 from pytorch_mesh_renderer_tpu.ops import camera
 
-from conftest import import_reference, reference_available
-
-needs_reference = pytest.mark.skipif(
-    not reference_available(), reason="pytorch reference not available")
+from conftest import import_reference, oracle_snapshot
 
 
 def test_euler_matrices_identity():
@@ -69,43 +66,53 @@ def test_transform_homogeneous_validates_rank():
         camera.transform_homogeneous(jnp.eye(4)[None], jnp.zeros([3, 3]))
 
 
-@needs_reference
 def test_camera_stack_matches_reference():
-    import torch
-    src = import_reference()
-    from src.common import camera_utils as ref_cam
-
+    """Oracle parity for the four camera ops (live reference or vendored
+    tests/oracle snapshot — deterministic fixed-seed inputs)."""
     rng = np.random.RandomState(0)
     angles = rng.uniform(-np.pi, np.pi, size=[4, 3]).astype(np.float32)
-    ours = np.asarray(camera.euler_matrices(jnp.asarray(angles)))
-    theirs = ref_cam.euler_matrices(torch.tensor(angles)).numpy()
-    np.testing.assert_allclose(ours, theirs, atol=1e-5)
-
     eye = rng.uniform(2, 4, size=[3, 3]).astype(np.float32)
     center = rng.uniform(-0.5, 0.5, size=[3, 3]).astype(np.float32)
     up = np.tile(np.array([[0.0, 1.0, 0.0]], np.float32), [3, 1])
-    ours = np.asarray(camera.look_at(eye, center, up))
-    theirs = ref_cam.look_at(
-        torch.tensor(eye), torch.tensor(center), torch.tensor(up)).numpy()
-    np.testing.assert_allclose(ours, theirs, atol=1e-5)
-
     fov = np.array([30.0, 40.0, 70.0], np.float32)
     near = np.array([0.01, 0.1, 1.0], np.float32)
     far = np.array([10.0, 20.0, 5.0], np.float32)
-    ours = np.asarray(camera.perspective(
-        640 / 480, jnp.asarray(fov), jnp.asarray(near), jnp.asarray(far)))
-    theirs = ref_cam.perspective(
-        640 / 480, torch.tensor(fov), torch.tensor(near),
-        torch.tensor(far)).numpy()
-    np.testing.assert_allclose(ours, theirs, atol=1e-5)
-
     mats = rng.uniform(-1, 1, size=[3, 4, 4]).astype(np.float32)
     verts = rng.uniform(-1, 1, size=[3, 17, 3]).astype(np.float32)
-    ours = np.asarray(camera.transform_homogeneous(
-        jnp.asarray(mats), jnp.asarray(verts)))
-    theirs = ref_cam.transform_homogeneous(
-        torch.tensor(mats), torch.tensor(verts)).numpy()
-    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+    def compute():
+        import torch
+        import_reference()
+        from src.common import camera_utils as ref_cam
+
+        return {
+            "euler": ref_cam.euler_matrices(torch.tensor(angles)).numpy(),
+            "look_at": ref_cam.look_at(
+                torch.tensor(eye), torch.tensor(center),
+                torch.tensor(up)).numpy(),
+            "perspective": ref_cam.perspective(
+                640 / 480, torch.tensor(fov), torch.tensor(near),
+                torch.tensor(far)).numpy(),
+            "transform": ref_cam.transform_homogeneous(
+                torch.tensor(mats), torch.tensor(verts)).numpy(),
+        }
+
+    ref = oracle_snapshot("camera_stack", compute)
+
+    np.testing.assert_allclose(
+        np.asarray(camera.euler_matrices(jnp.asarray(angles))),
+        ref["euler"], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(camera.look_at(eye, center, up)), ref["look_at"],
+        atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(camera.perspective(
+            640 / 480, jnp.asarray(fov), jnp.asarray(near),
+            jnp.asarray(far))), ref["perspective"], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(camera.transform_homogeneous(
+            jnp.asarray(mats), jnp.asarray(verts))), ref["transform"],
+        atol=1e-5)
 
 
 def test_look_at_jit_matches_eager_batched():

@@ -12,10 +12,9 @@ from pytorch_mesh_renderer_tpu.models import shapes
 from pytorch_mesh_renderer_tpu.ops import mesh
 from pytorch_mesh_renderer_tpu.utils import obj_io
 
-from conftest import import_reference, reference_available
+from conftest import ASSETS_DIR, import_reference, oracle_snapshot
 
-needs_reference = pytest.mark.skipif(
-    not reference_available(), reason="pytorch reference not available")
+TEAPOT_OBJ = os.path.join(ASSETS_DIR, "teapot.obj")
 
 
 def test_vertex_normals_cube_match_numpy():
@@ -47,40 +46,56 @@ def test_vertex_normals_batched():
     np.testing.assert_allclose(lengths, 1.0, atol=1e-5)
 
 
-@needs_reference
 def test_vertex_normals_match_reference():
-    import torch
-    src = import_reference()
-    from src.common import meshes as ref_meshes
-
     rng = np.random.RandomState(1)
     verts = rng.uniform(-1, 1, size=[2, 30, 3]).astype(np.float32)
     tris = rng.randint(0, 30, size=[40, 3]).astype(np.int32)
+
+    def compute():
+        import torch
+        import_reference()
+        from src.common import meshes as ref_meshes
+
+        return {"normals": ref_meshes.compute_vertex_normals(
+            torch.tensor(verts), torch.tensor(tris)).numpy()}
+
+    ref = oracle_snapshot("vertex_normals_random", compute)
     ours = np.asarray(mesh.compute_vertex_normals(
         jnp.asarray(verts), jnp.asarray(tris)))
-    theirs = ref_meshes.compute_vertex_normals(
-        torch.tensor(verts), torch.tensor(tris)).numpy()
-    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+    np.testing.assert_allclose(ours, ref["normals"], atol=1e-5)
 
 
-@needs_reference
 def test_shapes_match_reference():
-    import torch
-    src = import_reference()
-    from src.common import shapes as ref_shapes
+    def compute():
+        import torch  # noqa: F401
+        import_reference()
+        from src.common import shapes as ref_shapes
+
+        out = {}
+        for res in (3, 7):
+            rv, rt, rn = ref_shapes.sphere(1.5, resolution=res)
+            out[f"sphere{res}_v"] = rv.numpy()
+            out[f"sphere{res}_t"] = rt.numpy()
+            out[f"sphere{res}_n"] = rn.numpy()
+        rv, rt, rn = ref_shapes.cube(2.0)
+        out["cube_v"], out["cube_t"], out["cube_n"] = (
+            rv.numpy(), rt.numpy(), rn.numpy())
+        return out
+
+    ref = oracle_snapshot("shapes", compute)
 
     for res in (3, 7):
         v, t, n = shapes.sphere(1.5, resolution=res)
-        rv, rt, rn = ref_shapes.sphere(1.5, resolution=res)
-        np.testing.assert_allclose(np.asarray(v), rv.numpy(), atol=1e-6)
-        np.testing.assert_array_equal(np.asarray(t), rt.numpy())
-        np.testing.assert_allclose(np.asarray(n), rn.numpy(), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v), ref[f"sphere{res}_v"],
+                                   atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(t), ref[f"sphere{res}_t"])
+        np.testing.assert_allclose(np.asarray(n), ref[f"sphere{res}_n"],
+                                   atol=1e-6)
 
     v, t, n = shapes.cube(2.0)
-    rv, rt, rn = ref_shapes.cube(2.0)
-    np.testing.assert_allclose(np.asarray(v), rv.numpy(), atol=1e-6)
-    np.testing.assert_array_equal(np.asarray(t), rt.numpy())
-    np.testing.assert_allclose(np.asarray(n), rn.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v), ref["cube_v"], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(t), ref["cube_t"])
+    np.testing.assert_allclose(np.asarray(n), ref["cube_n"], atol=1e-6)
 
 
 def test_obj_roundtrip():
@@ -98,20 +113,21 @@ def test_obj_roundtrip():
                                    atol=1e-5)
 
 
-@needs_reference
 def test_load_teapot_matches_reference():
-    import torch
-    src = import_reference()
-    from src.common import obj_utils as ref_obj
+    """OBJ loader parity on the vendored teapot asset (assets/teapot.obj,
+    copied from the reference's example data)."""
+    def compute():
+        import_reference()
+        from src.common import obj_utils as ref_obj
 
-    teapot = "/root/reference/src/examples/teapot.obj"
-    if not os.path.exists(teapot):
-        pytest.skip("teapot asset missing")
-    v, f, n = obj_io.load_obj(teapot)
-    rv, rf, rn = ref_obj.load_obj(teapot)
-    np.testing.assert_allclose(np.asarray(v), rv.numpy(), atol=1e-5)
-    np.testing.assert_array_equal(np.asarray(f), rf.numpy())
-    np.testing.assert_allclose(np.asarray(n), rn.numpy(), atol=1e-4)
+        rv, rf, rn = ref_obj.load_obj(TEAPOT_OBJ)
+        return {"v": rv.numpy(), "f": rf.numpy(), "n": rn.numpy()}
+
+    ref = oracle_snapshot("teapot_load", compute)
+    v, f, n = obj_io.load_obj(TEAPOT_OBJ)
+    np.testing.assert_allclose(np.asarray(v), ref["v"], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(f), ref["f"])
+    np.testing.assert_allclose(np.asarray(n), ref["n"], atol=1e-4)
 
 
 def test_edges_list_cube():

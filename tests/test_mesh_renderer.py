@@ -19,11 +19,9 @@ from pytorch_mesh_renderer_tpu.models import mesh_renderer
 from pytorch_mesh_renderer_tpu.ops import camera
 from pytorch_mesh_renderer_tpu.utils import test_utils
 
-from conftest import REFERENCE_ROOT
+from conftest import GOLDEN_DIR
 
-TEST_DATA = os.path.join(REFERENCE_ROOT, "src", "mesh_renderer", "test_data")
-needs_golden = pytest.mark.skipif(
-    not os.path.isdir(TEST_DATA), reason="reference golden images missing")
+TEST_DATA = GOLDEN_DIR  # vendored copies of the reference's golden PNGs
 
 CUBE_VERTICES = jnp.asarray(
     [[-1, -1, 1], [-1, -1, -1], [-1, 1, -1], [-1, 1, 1], [1, -1, 1],
@@ -47,7 +45,6 @@ def _two_view_cube():
     return vertices, normals
 
 
-@needs_golden
 def test_renders_simple_cube():
     vertices, normals = _two_view_cube()
     eye = jnp.tile(jnp.array([[0.0, 0.0, 6.0]]), [2, 1])
@@ -66,7 +63,6 @@ def test_renders_simple_cube():
             np.asarray(images[i]))
 
 
-@needs_golden
 def test_complex_shading():
     """Specular highlights, per-vertex colors, multiple lights, tone map."""
     vertices, normals = _two_view_cube()
@@ -142,7 +138,6 @@ def test_full_render_gradient():
     assert matched, message
 
 
-@needs_golden
 def test_that_cube_rotates():
     """Recover a target rotation from pixels in 35 SGD steps.
 

@@ -176,3 +176,39 @@ def test_fused_interpolation_uncovered_pixels_are_background():
     assert uncovered.any(), "test scene should leave background pixels"
     np.testing.assert_array_equal(
         np.asarray(attr_img)[uncovered], 0.0)
+
+
+def test_triangle_budget_error_is_loud():
+    """Meshes beyond the VMEM-resident table budget fail with a clear
+    message pointing at the streaming XLA backend (never a Mosaic OOM)."""
+    import pytest
+
+    from pytorch_mesh_renderer_tpu.ops import rasterize_pallas as rp
+
+    big_tris = np.zeros([rp.MAX_PALLAS_TRIANGLES + 1, 3], np.int32)
+    clip = jnp.zeros([1, 3, 4], jnp.float32)
+    with pytest.raises(ValueError, match="backend='xla'"):
+        rp.rasterize_barycentric_pallas_batched(
+            clip, big_tris, 32, 32, interpret=False)
+    with pytest.raises(ValueError, match="backend='xla'"):
+        rp.rasterize_interpolate_pallas_batched(
+            clip, jnp.zeros([1, 3, 2]), big_tris, 32, 32, interpret=False)
+    # Interpreter mode has no VMEM; the cap must not apply there (pinned so
+    # CPU tests/CI can exercise large-T semantics).
+    small = np.zeros([1, 3], np.int32)
+    rp.rasterize_barycentric_pallas_batched(clip, small, 8, 8,
+                                            interpret=True)
+
+
+def test_soft_triangle_budget_error_is_loud():
+    import pytest
+
+    from pytorch_mesh_renderer_tpu.ops import soft_rasterize_pallas as sp
+
+    big_tris = np.zeros([sp.MAX_PALLAS_TRIANGLES + 1, 3], np.int32)
+    clip = jnp.zeros([1, 3, 4], jnp.float32)
+    v3 = jnp.zeros([1, 3, 3], jnp.float32)
+    with pytest.raises(ValueError, match="backend='xla'"):
+        sp.soft_rasterize_pallas_batched(
+            clip, big_tris, v3, v3, v3, jnp.zeros([1, 1, 3]),
+            jnp.ones([1, 1]), 32, 32, 1e-4, 1e-4, interpret=False)

@@ -125,3 +125,80 @@ def test_soft_pallas_batched_matches_single():
     for i in range(1, batch):
         np.testing.assert_allclose(np.asarray(g[i]), np.asarray(g[0]),
                                    atol=1e-6)
+
+
+def test_soft_pallas_traced_sigma_gamma_no_fallback():
+    """A jitted sigma/gamma-annealing step stays on the Pallas kernel:
+    sigma/gamma enter as traced SMEM params (one compile serves every
+    annealed value) and outputs match the XLA path per value."""
+    args, tris = _scene()
+    clip, world, normals, colors, lights, intens = args
+
+    @jax.jit
+    def render(sigma, gamma):
+        return rasterize_batch_pallas(clip, tris, world, normals, colors,
+                                      lights, intens, SIZE, SIZE, sigma,
+                                      gamma, BLUR)
+
+    for sigma, gamma in ((1e-3, 1e-2), (3e-3, 2e-2)):
+        got = np.asarray(render(jnp.float32(sigma), jnp.float32(gamma)))
+        want = np.asarray(soft_xla.rasterize_batch(
+            clip, tris, world, normals, colors, lights, intens, SIZE, SIZE,
+            sigma, gamma, blur_radius=BLUR))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_soft_pallas_sigma_gamma_gradients_match_xla_ad():
+    """The analytic dsigma/dgamma accumulated in the backward kernel vs jax
+    AD of the XLA scan path. The Pallas dgamma drops the background weight's
+    own gamma dependence (O(EPS/gamma^2) relative), hence the loose rtol."""
+    args, tris = _scene()
+    clip, world, normals, colors, lights, intens = args
+    cot = jax.random.normal(jax.random.PRNGKey(2), (SIZE, SIZE, 4))
+
+    def lp(sigma, gamma):
+        out = rasterize_batch_pallas(clip, tris, world, normals, colors,
+                                     lights, intens, SIZE, SIZE, sigma,
+                                     gamma, BLUR)
+        return jnp.sum(out * cot)
+
+    def lx(sigma, gamma):
+        out = soft_xla.rasterize_batch(clip, tris, world, normals, colors,
+                                       lights, intens, SIZE, SIZE, sigma,
+                                       gamma, blur_radius=BLUR)
+        return jnp.sum(out * cot)
+
+    sp, gp = jax.grad(lp, argnums=(0, 1))(jnp.float32(SIGMA),
+                                          jnp.float32(GAMMA))
+    sx, gx = jax.grad(lx, argnums=(0, 1))(jnp.float32(SIGMA),
+                                          jnp.float32(GAMMA))
+    np.testing.assert_allclose(float(sp), float(sx), rtol=1e-3)
+    np.testing.assert_allclose(float(gp), float(gx), rtol=1e-2)
+
+
+def test_soft_dispatch_traced_blur_warns_and_falls_back():
+    """A traced blur_radius cannot run on the Pallas backend: the dispatch
+    must warn LOUDLY and fall back to the XLA scan (never silently)."""
+    import warnings
+
+    from pytorch_mesh_renderer_tpu import config as config_lib
+
+    args, tris = _scene()
+    clip, world, normals, colors, lights, intens = args
+    cfg = config_lib.SoftRasterizerConfig(backend="pallas")
+
+    @jax.jit
+    def render(blur):
+        return soft_xla.rasterize_batch(
+            clip, tris, world, normals, colors, lights, intens, SIZE, SIZE,
+            SIGMA, GAMMA, blur_radius=blur, config=cfg)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = render(jnp.float32(BLUR))
+    assert any("blur_radius is a traced value" in str(w.message)
+               for w in caught)
+    want = np.asarray(soft_xla.rasterize_batch(
+        clip, tris, world, normals, colors, lights, intens, SIZE, SIZE,
+        SIGMA, GAMMA, blur_radius=BLUR))
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)

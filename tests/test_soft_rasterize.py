@@ -16,10 +16,7 @@ import jax.numpy as jnp
 from pytorch_mesh_renderer_tpu.ops.soft_rasterize import (
     edge_function, point_to_segment_nearest, rasterize_batch)
 
-from conftest import import_reference, reference_available
-
-needs_reference = pytest.mark.skipif(
-    not reference_available(), reason="pytorch reference not available")
+from conftest import import_reference, oracle_snapshot
 
 
 def test_point_to_segment_nearest():
@@ -130,14 +127,10 @@ def test_single_triangle_forward_blurred():
     np.testing.assert_allclose(alpha[0, :8], 0.0, atol=1e-6)
 
 
-@needs_reference
 def test_matches_reference_soft_rasterizer():
     """Oracle test: bit-level scenario parity with the reference kernel on a
-    two-triangle mesh with perspective and an off-axis light."""
-    import torch
-    src = import_reference()
-    from src.soft_mesh_renderer.rasterize import rasterize_batch as ref_batch
-
+    two-triangle mesh with perspective and an off-axis light (live oracle or
+    vendored tests/oracle snapshot)."""
     rng = np.random.RandomState(7)
     world = np.array([[-0.6, -0.5, 0.1], [0.7, -0.4, -0.2], [0.0, 0.8, 0.0],
                       [0.9, 0.6, 0.4]], np.float32)
@@ -158,13 +151,21 @@ def test_matches_reference_soft_rasterizer():
         jnp.asarray(normals), jnp.asarray(colors), jnp.asarray(lights),
         jnp.asarray(intens), 16, 16, 1e-4, 1e-3, blur_radius=0.05))
 
-    theirs = ref_batch(
-        torch.from_numpy(clip), torch.from_numpy(tris),
-        torch.from_numpy(world), torch.from_numpy(normals),
-        torch.from_numpy(colors), torch.from_numpy(lights),
-        torch.from_numpy(intens), 16, 16, 1e-4, 1e-3, 0.05)
-    np.testing.assert_allclose(ours, theirs.detach().numpy(), atol=2e-4,
-                               rtol=1e-3)
+    def compute():
+        import torch
+        import_reference()
+        from src.soft_mesh_renderer.rasterize import (
+            rasterize_batch as ref_batch)
+
+        theirs = ref_batch(
+            torch.from_numpy(clip), torch.from_numpy(tris),
+            torch.from_numpy(world), torch.from_numpy(normals),
+            torch.from_numpy(colors), torch.from_numpy(lights),
+            torch.from_numpy(intens), 16, 16, 1e-4, 1e-3, 0.05)
+        return {"image": theirs.detach().numpy()}
+
+    ref = oracle_snapshot("soft_two_triangle_16x16", compute)
+    np.testing.assert_allclose(ours, ref["image"], atol=2e-4, rtol=1e-3)
 
 
 def test_optimize_single_triangle_translation():

@@ -12,7 +12,7 @@ from pytorch_mesh_renderer_tpu.models import shapes
 from pytorch_mesh_renderer_tpu.ops import losses, mesh as mesh_ops
 from pytorch_mesh_renderer_tpu.utils import checkpoint, debug, profiling
 
-from conftest import reference_available
+import conftest
 
 
 def _cube_mesh():
@@ -45,38 +45,44 @@ def test_laplacian_loss_zero_for_centered_symmetric():
     np.testing.assert_allclose(loss2, 2.0 * loss, rtol=1e-5)
 
 
-@pytest.mark.skipif(not reference_available(),
-                    reason="pytorch reference not available")
 def test_losses_match_reference_example7b():
-    """Oracle check against the reference's sparse-matrix formulation."""
-    import importlib.util
-    import torch
-
-    spec = importlib.util.spec_from_file_location(
-        "ref_example7b",
-        os.path.join(os.environ.get("MESH_RENDERER_REFERENCE",
-                                    "/root/reference"),
-                     "src", "examples", "example7b.py"))
-    # example7b imports the package; execute only the loss helpers instead.
-    src = open(spec.origin).read()
-    start = src.index("def compute_laplacian")
-    end = src.index('if __name__ ==')
-    ns = {"torch": torch}
-    exec(compile(src[start:end], spec.origin, "exec"), ns)
-
+    """Oracle check against the reference's sparse-matrix formulation
+    (live, or the vendored tests/oracle snapshot)."""
     verts, tris, edges = _cube_mesh()
-    tverts = torch.tensor(np.asarray(verts))
-    ttris = torch.tensor(np.asarray(tris))
-    tedges = ns["compute_edges_list"](tverts, ttris)
-    lap = ns["compute_laplacian"](tverts, tedges)
-    want_lap = float(ns["mesh_laplacian_smoothing_loss"](tverts, lap))
-    want_edge = float(ns["mesh_edge_loss"](tverts, tedges))
+
+    def compute():
+        import importlib.util
+        import torch
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_example7b",
+            os.path.join(os.environ.get("MESH_RENDERER_REFERENCE",
+                                        "/root/reference"),
+                         "src", "examples", "example7b.py"))
+        # example7b imports the package; execute only the loss helpers.
+        src = open(spec.origin).read()
+        start = src.index("def compute_laplacian")
+        end = src.index('if __name__ ==')
+        ns = {"torch": torch}
+        exec(compile(src[start:end], spec.origin, "exec"), ns)
+
+        tverts = torch.tensor(np.asarray(verts))
+        ttris = torch.tensor(np.asarray(tris))
+        tedges = ns["compute_edges_list"](tverts, ttris)
+        lap = ns["compute_laplacian"](tverts, tedges)
+        return {
+            "lap": float(ns["mesh_laplacian_smoothing_loss"](tverts, lap)),
+            "edge": float(ns["mesh_edge_loss"](tverts, tedges)),
+        }
+
+    ref = conftest.oracle_snapshot("losses_example7b_cube", compute)
 
     np.testing.assert_allclose(
-        float(losses.laplacian_smoothing_loss(verts, edges)), want_lap,
-        rtol=1e-5)
+        float(losses.laplacian_smoothing_loss(verts, edges)),
+        float(ref["lap"]), rtol=1e-5)
     np.testing.assert_allclose(
-        float(losses.edge_loss(verts, edges)), want_edge, rtol=1e-6)
+        float(losses.edge_loss(verts, edges)), float(ref["edge"]),
+        rtol=1e-6)
 
 
 def test_silhouette_losses():

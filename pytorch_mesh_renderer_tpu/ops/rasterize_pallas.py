@@ -90,6 +90,15 @@ FUSED_BWD_TRI_CHUNK = 16
 # accumulate). HIGHEST costs ~1.8x end-to-end (bf16x6 passes), so DEFAULT
 # is correct here. tests/test_rasterize_pallas.py pins the parity.
 _DOT_PRECISION = jax.lax.Precision.DEFAULT
+# Backward reduction dots ([C, P] x [P, 3] / [C, P] x [P, A]): at DEFAULT
+# they run as plain bf16 MXU dots, which adds ~0.5% relative noise to the
+# vertex/attribute gradients (measured compiled-vs-XLA on v5e, 64x48 cube).
+# HIGHEST removes the noise but costs 29% end-to-end (567 -> 401 renders/s
+# at the 256^2 headline; Mosaic supports no bf16x3 middle ground — HIGH is
+# rejected). 0.5% sits inside every reference gradient gate (1% relative
+# outlier budget) and is immaterial to SGD, so DEFAULT is the right default;
+# flip this constant for exact-parity debugging.
+_BWD_DOT_PRECISION = jax.lax.Precision.DEFAULT
 
 # Packed triangle-data columns (see _pack_triangle_data).
 _COLS = 21
@@ -447,7 +456,7 @@ def _bwd_chunk_core(data, mask, g0t, g1t, g2t, gb, bmat, chunk, n_pix,
             t_c.reshape(chunk, n_pix), bmat,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_DOT_PRECISION)  # [C, 3]
+            precision=_BWD_DOT_PRECISION)  # [C, 3]
         sl = (0, pl.ds(c * chunk, chunk), pl.ds(cc * 3, 3))
         dcorner_ref[sl] = dcorner_ref[sl] + red
 
@@ -835,7 +844,7 @@ def _bwd_kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
                 proj = jax.lax.dot_general(
                     ak, gattrf, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=_DOT_PRECISION)  # [C, P]
+                    precision=_BWD_DOT_PRECISION)  # [C, P]
                 proj = proj.reshape(chunk, TILE_H, TILE_W)
                 dbc.append(jnp.sum(mask * proj, axis=0))
             g0t = g0 + dbc[0]
@@ -851,7 +860,7 @@ def _bwd_kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
                 part = jax.lax.dot_general(
                     mb, gattrf, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=_DOT_PRECISION)  # [C, A]
+                    precision=_BWD_DOT_PRECISION)  # [C, A]
                 sl = (0, pl.ds(c * chunk, chunk), pl.ds(k * a_pad, a_pad))
                 dattr_ref[sl] = dattr_ref[sl] + part
             return 0

@@ -63,8 +63,13 @@ def test_pallas_matches_xla_gradient():
 
     g_x = jax.grad(loss(rasterize_barycentric_xla))(clip)
     g_p = jax.grad(loss(rasterize_barycentric_pallas))(clip)
-    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-5,
-                               atol=1e-4)
+    # Compiled on TPU, the backward reduction dots run at MXU bf16
+    # (DEFAULT) precision — ~0.5% relative gradient noise (see
+    # _BWD_DOT_PRECISION); interpret/CPU mode is f32-exact.
+    on_tpu = jax.devices()[0].platform == "tpu"
+    rtol, atol = (1e-2, 1e-2) if on_tpu else (1e-5, 1e-4)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=rtol,
+                               atol=atol)
     # No gradient to vertex z in either backend (cpp:232-269 property).
     np.testing.assert_array_equal(np.asarray(g_p[:, 2]), 0.0)
 
@@ -124,8 +129,14 @@ def test_fused_interpolation_matches_xla(attr_count):
                                 config=cfg_x)
     out_p = rasterize.rasterize(verts, attrs, tris, cam, width, height, bg,
                                 config=cfg_p)
+    # Compiled on TPU, the fused interpolation/backward matmuls run at MXU
+    # bf16 (DEFAULT) precision: ~0.5% relative noise, inside every
+    # reference image/gradient gate (see _BWD_DOT_PRECISION rationale).
+    # Interpret/CPU mode is f32-exact.
+    on_tpu = jax.devices()[0].platform == "tpu"
+    fwd_atol, grad_atol = (2e-2, 2e-2) if on_tpu else (2e-5, 1e-5)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
-                               atol=2e-5)
+                               atol=fwd_atol)
 
     def loss(v, a, cfg):
         img = rasterize.rasterize(v, a, tris, cam, width, height, bg,
@@ -137,9 +148,9 @@ def test_fused_interpolation_matches_xla(attr_count):
     scale_v = float(jnp.max(jnp.abs(g_x[0]))) + 1e-6
     scale_a = float(jnp.max(jnp.abs(g_x[1]))) + 1e-6
     np.testing.assert_allclose(np.asarray(g_p[0]) / scale_v,
-                               np.asarray(g_x[0]) / scale_v, atol=1e-5)
+                               np.asarray(g_x[0]) / scale_v, atol=grad_atol)
     np.testing.assert_allclose(np.asarray(g_p[1]) / scale_a,
-                               np.asarray(g_x[1]) / scale_a, atol=1e-5)
+                               np.asarray(g_x[1]) / scale_a, atol=grad_atol)
 
 
 def test_fused_interpolation_row_sharded_strips():

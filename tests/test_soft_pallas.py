@@ -75,12 +75,16 @@ def test_soft_pallas_backward_matches_xla_ad():
 
     gp = jax.grad(lp, argnums=tuple(range(6)))(*args)
     gx = jax.grad(lx, argnums=tuple(range(6)))(*args)
+    # Compiled on TPU the backward's MXU column reductions run at bf16
+    # (DEFAULT) precision (~0.5% noise, inside the reference's 1% gradient
+    # gates); interpret/CPU is f32-exact.
+    tol = 1e-2 if jax.devices()[0].platform == "tpu" else 1e-4
     for name, a, b in zip(
             ("clip", "world", "normals", "colors", "lights", "intens"),
             gp, gx):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(b).max(), 1e-6)
-        assert np.abs(a - b).max() / scale < 1e-4, (
+        assert np.abs(a - b).max() / scale < tol, (
             f"{name} gradient mismatch: {np.abs(a - b).max()} "
             f"vs magnitude {scale}")
 
@@ -172,8 +176,12 @@ def test_soft_pallas_sigma_gamma_gradients_match_xla_ad():
                                           jnp.float32(GAMMA))
     sx, gx = jax.grad(lx, argnums=(0, 1))(jnp.float32(SIGMA),
                                           jnp.float32(GAMMA))
-    np.testing.assert_allclose(float(sp), float(sx), rtol=1e-3)
-    np.testing.assert_allclose(float(gp), float(gx), rtol=1e-2)
+    # bf16 MXU reductions on the compiled TPU path (see above).
+    wide = jax.devices()[0].platform == "tpu"
+    np.testing.assert_allclose(float(sp), float(sx),
+                               rtol=1e-2 if wide else 1e-3)
+    np.testing.assert_allclose(float(gp), float(gx),
+                               rtol=3e-2 if wide else 1e-2)
 
 
 def test_soft_dispatch_traced_blur_warns_and_falls_back():

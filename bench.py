@@ -199,12 +199,11 @@ def estimate_hard_cost(scene, size):
         jnp.full([batch], 40.0), jnp.full([batch], 0.01),
         jnp.full([batch], 10.0), size, size)
     clip = camera.transform_homogeneous(cams, scene["vertices"])
-    tri_data = rp._pack_batched(clip, scene["triangles"],
-                                rp.FUSED_TRI_CHUNK)
-    _, counts = rp._bin_chunks(tri_data, rp.FUSED_TRI_CHUNK, size, size,
-                               0, size)
+    chunk = rp._fused_chunk_for(scene["triangles"].shape[0])
+    tri_data = rp._pack_batched(clip, scene["triangles"], chunk)
+    _, counts = rp._bin_chunks(tri_data, chunk, size, size, 0, size)
     pairs = int(jnp.sum(counts))
-    tri_px = pairs * rp.FUSED_TRI_CHUNK * rp.TILE_H * rp.TILE_W
+    tri_px = pairs * chunk * rp.TILE_H * rp.TILE_W
     a_pad = 16  # normals+positions+diffuse = 9 attrs, padded to 16
     flops = tri_px * (34 + 6 * a_pad) + tri_px * (64 + 12 * a_pad)
 

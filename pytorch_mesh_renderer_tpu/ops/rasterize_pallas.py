@@ -80,7 +80,16 @@ TILE_W = 128
 TRI_CHUNK = 16
 BWD_TRI_CHUNK = 16
 FUSED_TRI_CHUNK = 16
-FUSED_BWD_TRI_CHUNK = 16
+# Large meshes cull tighter with smaller (chunk = binning-granularity)
+# candidate lists: at the 512^2 10k-tri stress, chunk 8 measured 240 vs
+# 216 renders/s, while the 256^2 teapot headline prefers 16 (567 vs 556).
+FUSED_TRI_CHUNK_LARGE = 8
+FUSED_LARGE_T_THRESHOLD = 4096
+
+
+def _fused_chunk_for(n_triangles):
+    return (FUSED_TRI_CHUNK_LARGE if n_triangles >= FUSED_LARGE_T_THRESHOLD
+            else FUSED_TRI_CHUNK)
 
 # In-kernel dot precision. These dots feed rendered images and analytic
 # gradients, so precision was checked explicitly on TPU v5e: with DEFAULT,
@@ -671,7 +680,7 @@ def _pack_corner_attributes(attributes, triangles, a_pad, n_tri_padded):
 
 def _kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
                   id_ref, b0_ref, b1_ref, b2_ref, attr_ref, *, image_width,
-                  image_height, full_height, n_tri_padded, a_pad):
+                  image_height, full_height, n_tri_padded, a_pad, chunk):
     """Forward tile kernel with in-tile attribute interpolation.
 
     Same binned rasterization loop as _kernel plus a flat [a_pad, P]
@@ -684,7 +693,6 @@ def _kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     n_pix = TILE_H * TILE_W
-    chunk = FUSED_TRI_CHUNK
     px, py = _tile_pixel_coords(ti, tj, row_off_ref[0], image_width,
                                 full_height)
     count = count_ref[0, 0, tj, 0]
@@ -734,7 +742,7 @@ def _kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
 
 
 def _forward_fused(tri_data, attr_packed, row_offset, image_width,
-                   image_height, full_height, interpret):
+                   image_height, full_height, interpret, chunk):
     """Fused forward: -> (ids, bc, attrs [B, a_pad, H, W])."""
     batch, n_tri_padded, _ = tri_data.shape
     a3 = attr_packed.shape[-1]
@@ -743,7 +751,8 @@ def _forward_fused(tri_data, attr_packed, row_offset, image_width,
             pl.cdiv(image_width, TILE_W))
     kernel = functools.partial(
         _kernel_fused, image_width=image_width, image_height=image_height,
-        full_height=full_height, n_tri_padded=n_tri_padded, a_pad=a_pad)
+        full_height=full_height, n_tri_padded=n_tri_padded, a_pad=a_pad,
+        chunk=chunk)
 
     out_shape = [
         jax.ShapeDtypeStruct((batch, image_height, image_width), jnp.int32),
@@ -765,10 +774,10 @@ def _forward_fused(tri_data, attr_packed, row_offset, image_width,
                                  lambda b, i, j: (b, 0, i, j),
                                  memory_space=pltpu.VMEM)
     row_off = jnp.asarray(row_offset, jnp.float32).reshape(1)
-    candidates, counts = _bin_chunks(tri_data, FUSED_TRI_CHUNK, image_width,
+    candidates, counts = _bin_chunks(tri_data, chunk, image_width,
                                      image_height, row_offset, full_height)
     count_spec, cand_spec = _bin_specs(
-        pl.cdiv(image_width, TILE_W), n_tri_padded // FUSED_TRI_CHUNK)
+        pl.cdiv(image_width, TILE_W), n_tri_padded // chunk)
 
     ids, b0, b1, b2, attrs = pl.pallas_call(
         kernel,
@@ -792,7 +801,8 @@ def _forward_fused(tri_data, attr_packed, row_offset, image_width,
 def _bwd_kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
                       id_ref, b0_ref, b1_ref, b2_ref, g0_ref, g1_ref, g2_ref,
                       gattr_ref, dcorner_ref, dattr_ref, *, image_width,
-                      image_height, full_height, n_tri_padded, a_pad):
+                      image_height, full_height, n_tri_padded, a_pad,
+                      chunk):
     """Fused backward: vertex-gradient table + attribute-gradient table.
 
     Extends _bwd_kernel's analytic chain with the interpolation VJP: the
@@ -804,7 +814,6 @@ def _bwd_kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     n_pix = TILE_H * TILE_W
-    chunk = FUSED_BWD_TRI_CHUNK
 
     @pl.when((ti == 0) & (tj == 0))
     def _init():
@@ -880,10 +889,11 @@ def _backward_fused(tri_data, attr_packed, triangles, vertex_count,
     a_pad = a3 // 3
     grid = (batch, pl.cdiv(image_height, TILE_H),
             pl.cdiv(image_width, TILE_W))
+    chunk = _fused_chunk_for(np.shape(triangles)[0])
     kernel = functools.partial(
         _bwd_kernel_fused, image_width=image_width,
         image_height=image_height, full_height=full_height,
-        n_tri_padded=n_tri_padded, a_pad=a_pad)
+        n_tri_padded=n_tri_padded, a_pad=a_pad, chunk=chunk)
     tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
                              lambda b, i, j: (b, i, j),
                              memory_space=pltpu.VMEM)
@@ -909,10 +919,9 @@ def _backward_fused(tri_data, attr_packed, triangles, vertex_count,
     gattr = jnp.pad(gattr,
                     [(0, 0), (0, a_pad - gattr.shape[1]), (0, 0), (0, 0)])
     candidates, counts = _bin_chunks(
-        tri_data, FUSED_BWD_TRI_CHUNK, image_width, image_height,
-        row_offset, full_height)
+        tri_data, chunk, image_width, image_height, row_offset, full_height)
     count_spec, cand_spec = _bin_specs(
-        pl.cdiv(image_width, TILE_W), n_tri_padded // FUSED_BWD_TRI_CHUNK)
+        pl.cdiv(image_width, TILE_W), n_tri_padded // chunk)
 
     dcorner, dattr_tab = pl.pallas_call(
         kernel,
@@ -958,14 +967,15 @@ def _pallas_interp_core(clip_vertices, attributes, triangles, row_offset,
 
 def _interp_fwd(clip_vertices, attributes, triangles, row_offset,
                 image_width, image_height, full_height, interpret):
-    tri_data = _pack_batched(clip_vertices, triangles, FUSED_TRI_CHUNK)
+    chunk = _fused_chunk_for(np.shape(triangles)[0])
+    tri_data = _pack_batched(clip_vertices, triangles, chunk)
     a = attributes.shape[-1]
     a_pad = _pad_attr_count(a)
     attr_packed = _pack_corner_attributes(attributes, triangles, a_pad,
                                           tri_data.shape[1])
     ids, bc, attrs = _forward_fused(
         tri_data, attr_packed, row_offset, image_width, image_height,
-        full_height, interpret)
+        full_height, interpret, chunk)
     attr_images = jnp.moveaxis(attrs, 1, -1)[..., :a]  # [B, H, W, A]
     out = (ids, bc, attr_images)
     residuals = (jax.lax.stop_gradient(tri_data),

@@ -324,25 +324,44 @@ def _pack_batched(clip_vertices, triangles, chunk):
 # limit, but v5e has far more physical VMEM.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
-# Hard cap on the padded triangle count for the compiled kernels. All
+# Per-pass cap on the triangle count for the compiled kernels. All
 # per-triangle tables are VMEM-resident per batch element: lane-padded to
 # 128, the fused backward's worst case holds ~4 tables x 512 B/tri, and the
-# 100 MB budget above runs out near 48k. Larger meshes must fail LOUDLY
-# here rather than crash deep inside Mosaic allocation.
+# 100 MB budget above runs out near 48k. Meshes beyond the cap render in
+# MULTIPLE PASSES of <= MAX_PALLAS_TRIANGLES triangles whose z-buffers are
+# merged on the XLA side (depth min, ties to the later/global-larger
+# triangle id — the same rule the kernel applies between chunks), so the
+# triangle dimension scales to HBM capacity instead of VMEM.
 MAX_PALLAS_TRIANGLES = 49152
 
 
-def _check_triangle_budget(n_triangles, interpret, kernel_name):
-    if interpret:  # interpreter mode has no VMEM to exhaust
-        return
-    if n_triangles > MAX_PALLAS_TRIANGLES:
-        raise ValueError(
-            f"{kernel_name}: {n_triangles} triangles exceeds the Pallas "
-            f"kernels' VMEM-resident table budget "
-            f"(MAX_PALLAS_TRIANGLES={MAX_PALLAS_TRIANGLES}). Render very "
-            "large meshes with the XLA backend "
-            "(HardRasterizerConfig(backend='xla')), which streams triangle "
-            "chunks through a scan and has no such limit.")
+def _triangle_slices(n_triangles):
+    """[(start, size)] pass slices of at most MAX_PALLAS_TRIANGLES."""
+    out = []
+    start = 0
+    while start < n_triangles:
+        out.append((start, min(MAX_PALLAS_TRIANGLES, n_triangles - start)))
+        start += MAX_PALLAS_TRIANGLES
+    return out
+
+
+def _merge_pass(best, ids, bc, z, offset, extra=None, best_extra=None):
+    """Depth-merge one pass into the running best (later passes win ties).
+
+    `best` is (gids, bc, z, covered); global ids are local + offset, and
+    coverage is detected by the barycentric sum (uncovered pixels have
+    bc == 0 under the kernels' background contract).
+    """
+    b_ids, b_bc, b_z, b_cov = best
+    cov = jnp.sum(bc, axis=-1) > 0.5
+    gid = ids + offset
+    better = cov & ((~b_cov) | (z < b_z) | ((z == b_z) & (gid > b_ids)))
+    m = better[..., None]
+    merged = (jnp.where(better, gid, b_ids), jnp.where(m, bc, b_bc),
+              jnp.where(better, z, b_z), b_cov | cov)
+    if extra is None:
+        return merged
+    return merged, jnp.where(m, extra, best_extra)
 
 
 def _bin_specs(n_cols, n_chunks):
@@ -630,18 +649,34 @@ def rasterize_barycentric_pallas_batched(clip_vertices, triangles,
     clip_vertices is [batch, V, 4]; returns (ids [B, H, W] i32,
     barycentrics [B, H, W, 3] f32, z [B, H, W] f32). The whole batch runs in
     one pallas_call with batch as the leading grid dimension (do NOT vmap
-    over this function — batching is native).
+    over this function — batching is native). Meshes beyond
+    MAX_PALLAS_TRIANGLES render in multiple depth-merged passes, so the
+    triangle dimension scales to HBM capacity.
     """
     if full_height is None:
         full_height = image_height
     if row_offset is None:
         row_offset = jnp.zeros((), jnp.int32)
     interp = _default_interpret(interpret)
-    _check_triangle_budget(np.shape(triangles)[0], interp,
-                           "rasterize_barycentric_pallas")
-    return _pallas_core(clip_vertices, jnp.asarray(triangles, jnp.int32),
-                        jnp.asarray(row_offset, jnp.int32), int(image_width),
-                        int(image_height), int(full_height), interp)
+    tris = jnp.asarray(triangles, jnp.int32)
+    row_off = jnp.asarray(row_offset, jnp.int32)
+
+    def one_pass(tri_slice):
+        return _pallas_core(clip_vertices, tri_slice, row_off,
+                            int(image_width), int(image_height),
+                            int(full_height), interp)
+
+    slices = _triangle_slices(tris.shape[0])
+    if len(slices) == 1:
+        return one_pass(tris)
+    ids0, bc0, z0 = one_pass(tris[slices[0][0]:slices[0][0] + slices[0][1]])
+    cov0 = jnp.sum(bc0, axis=-1) > 0.5
+    best = (jnp.where(cov0, ids0, 0), bc0, z0, cov0)
+    for start, size in slices[1:]:
+        ids, bc, z = one_pass(tris[start:start + size])
+        best = _merge_pass(best, ids, bc, z, start)
+    gids, bc, z, cov = best
+    return jnp.where(cov, gids, 0), bc, z
 
 
 def rasterize_barycentric_pallas(clip_vertices, triangles, image_width,
@@ -679,8 +714,9 @@ def _pack_corner_attributes(attributes, triangles, a_pad, n_tri_padded):
 
 
 def _kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
-                  id_ref, b0_ref, b1_ref, b2_ref, attr_ref, *, image_width,
-                  image_height, full_height, n_tri_padded, a_pad, chunk):
+                  id_ref, b0_ref, b1_ref, b2_ref, z_ref, attr_ref, *,
+                  image_width, image_height, full_height, n_tri_padded,
+                  a_pad, chunk):
     """Forward tile kernel with in-tile attribute interpolation.
 
     Same binned rasterization loop as _kernel plus a flat [a_pad, P]
@@ -731,13 +767,14 @@ def _kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
             jnp.full((TILE_H, TILE_W), -1, jnp.int32),
             zeros, zeros, zeros,
             jnp.zeros((a_pad, n_pix), jnp.float32))
-    _, best_id, best_b0, best_b1, best_b2, best_attr = jax.lax.fori_loop(
+    best_z, best_id, best_b0, best_b1, best_b2, best_attr = jax.lax.fori_loop(
         0, count, chunk_body, init)
 
     id_ref[0] = jnp.maximum(best_id, 0)
     b0_ref[0] = best_b0
     b1_ref[0] = best_b1
     b2_ref[0] = best_b2
+    z_ref[0] = jnp.where(best_z > 1.0, 1.0, best_z)
     attr_ref[0] = best_attr.reshape(a_pad, TILE_H, TILE_W)
 
 
@@ -757,7 +794,7 @@ def _forward_fused(tri_data, attr_packed, row_offset, image_width,
     out_shape = [
         jax.ShapeDtypeStruct((batch, image_height, image_width), jnp.int32),
     ] + [jax.ShapeDtypeStruct((batch, image_height, image_width),
-                              jnp.float32)] * 3 + [
+                              jnp.float32)] * 4 + [
         jax.ShapeDtypeStruct((batch, a_pad, image_height, image_width),
                              jnp.float32),
     ]
@@ -779,7 +816,7 @@ def _forward_fused(tri_data, attr_packed, row_offset, image_width,
     count_spec, cand_spec = _bin_specs(
         pl.cdiv(image_width, TILE_W), n_tri_padded // chunk)
 
-    ids, b0, b1, b2, attrs = pl.pallas_call(
+    ids, b0, b1, b2, z, attrs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -789,13 +826,13 @@ def _forward_fused(tri_data, attr_packed, row_offset, image_width,
             tri_spec,
             attr_in_spec,
         ],
-        out_specs=[tile_spec] * 4 + [attr_out_spec],
+        out_specs=[tile_spec] * 5 + [attr_out_spec],
         out_shape=out_shape,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(row_off, counts, candidates, tri_data, attr_packed)
     bc = jnp.stack([b0, b1, b2], axis=-1)
-    return ids, bc, attrs
+    return ids, bc, z, attrs
 
 
 def _bwd_kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
@@ -973,11 +1010,11 @@ def _interp_fwd(clip_vertices, attributes, triangles, row_offset,
     a_pad = _pad_attr_count(a)
     attr_packed = _pack_corner_attributes(attributes, triangles, a_pad,
                                           tri_data.shape[1])
-    ids, bc, attrs = _forward_fused(
+    ids, bc, z, attrs = _forward_fused(
         tri_data, attr_packed, row_offset, image_width, image_height,
         full_height, interpret, chunk)
     attr_images = jnp.moveaxis(attrs, 1, -1)[..., :a]  # [B, H, W, A]
-    out = (ids, bc, attr_images)
+    out = (ids, bc, attr_images, z)
     residuals = (jax.lax.stop_gradient(tri_data),
                  jax.lax.stop_gradient(attr_packed), triangles,
                  clip_vertices.shape[1], a, ids, bc, row_offset)
@@ -988,7 +1025,10 @@ def _interp_bwd(image_width, image_height, full_height, interpret,
                 residuals, cotangents):
     (tri_data, attr_packed, triangles, vertex_count, attribute_count, ids,
      bc, row_offset) = residuals
-    _, df_dbc, df_dattr = cotangents
+    # z cotangent is discarded: the kernel produces no vertex-z gradient
+    # (cpp:232-269 property) and z feeds only stop-gradient-style winner
+    # selection in the multi-pass merge.
+    _, df_dbc, df_dattr, _ = cotangents
     df_dvertices, df_dattributes = _backward_fused(
         tri_data, attr_packed, triangles, vertex_count, attribute_count,
         ids, bc, df_dbc, df_dattr, row_offset, image_width, image_height,
@@ -1025,10 +1065,30 @@ def rasterize_interpolate_pallas_batched(clip_vertices, attributes,
     if row_offset is None:
         row_offset = jnp.zeros((), jnp.int32)
     interp = _default_interpret(interpret)
-    _check_triangle_budget(np.shape(triangles)[0], interp,
-                           "rasterize_interpolate_pallas")
-    return _pallas_interp_core(
-        clip_vertices, jnp.asarray(attributes, jnp.float32),
-        jnp.asarray(triangles, jnp.int32),
-        jnp.asarray(row_offset, jnp.int32), int(image_width),
-        int(image_height), int(full_height), interp)
+    attrs_f = jnp.asarray(attributes, jnp.float32)
+    tris = jnp.asarray(triangles, jnp.int32)
+    row_off = jnp.asarray(row_offset, jnp.int32)
+
+    def one_pass(tri_slice):
+        return _pallas_interp_core(
+            clip_vertices, attrs_f, tri_slice, row_off, int(image_width),
+            int(image_height), int(full_height), interp)
+
+    slices = _triangle_slices(tris.shape[0])
+    if len(slices) == 1:
+        ids, bc, attr_images, _ = one_pass(tris)
+        return ids, bc, attr_images
+    # Multi-pass: render <= MAX_PALLAS_TRIANGLES triangles per pass and
+    # depth-merge; gradients flow through each pass's analytic custom_vjp
+    # and the winner-select merge automatically.
+    ids0, bc0, ai0, z0 = one_pass(tris[slices[0][0]:slices[0][0]
+                                       + slices[0][1]])
+    cov0 = jnp.sum(bc0, axis=-1) > 0.5
+    best = (jnp.where(cov0, ids0, 0), bc0, z0, cov0)
+    best_ai = ai0
+    for start, size in slices[1:]:
+        ids, bc, ai, z = one_pass(tris[start:start + size])
+        best, best_ai = _merge_pass(best, ids, bc, z, start, extra=ai,
+                                    best_extra=best_ai)
+    gids, bc, z, cov = best
+    return jnp.where(cov, gids, 0), bc, best_ai

@@ -189,31 +189,64 @@ def test_fused_interpolation_uncovered_pixels_are_background():
         np.asarray(attr_img)[uncovered], 0.0)
 
 
-def test_triangle_budget_error_is_loud():
-    """Meshes beyond the VMEM-resident table budget fail with a clear
-    message pointing at the streaming XLA backend (never a Mosaic OOM)."""
-    import pytest
-
+def test_multi_pass_large_mesh_matches_single_pass(monkeypatch):
+    """Meshes beyond MAX_PALLAS_TRIANGLES render in depth-merged passes that
+    match the single-pass output exactly — forward (ids/bc/z and fused
+    attribute images) and gradients. Exercised by shrinking the per-pass
+    cap so a 30-triangle scene takes 3 passes."""
     from pytorch_mesh_renderer_tpu.ops import rasterize_pallas as rp
 
-    big_tris = np.zeros([rp.MAX_PALLAS_TRIANGLES + 1, 3], np.int32)
-    clip = jnp.zeros([1, 3, 4], jnp.float32)
-    with pytest.raises(ValueError, match="backend='xla'"):
-        rp.rasterize_barycentric_pallas_batched(
-            clip, big_tris, 32, 32, interpret=False)
-    with pytest.raises(ValueError, match="backend='xla'"):
-        rp.rasterize_interpolate_pallas_batched(
-            clip, jnp.zeros([1, 3, 2]), big_tris, 32, 32, interpret=False)
-    # Interpreter mode has no VMEM; the cap must not apply there (pinned so
-    # CPU tests/CI can exercise large-T semantics).
-    small = np.zeros([1, 3], np.int32)
-    rp.rasterize_barycentric_pallas_batched(clip, small, 8, 8,
-                                            interpret=True)
+    verts, tris, attrs, cam, bg = _random_scene(tri_count=30)
+    width, height = 48, 40
+    clip = camera.transform_homogeneous(cam, verts)
+
+    want = rp.rasterize_barycentric_pallas_batched(clip, tris, width, height)
+    want_fused = rp.rasterize_interpolate_pallas_batched(
+        clip, attrs, tris, width, height)
+
+    def fused_loss(v, a):
+        _, bc, ai = rp.rasterize_interpolate_pallas_batched(
+            camera.transform_homogeneous(cam, v), a, tris, width, height)
+        return jnp.sum(jnp.sin(ai)) + jnp.sum(bc ** 2)
+
+    want_g = jax.grad(fused_loss, argnums=(0, 1))(verts, attrs)
+
+    monkeypatch.setattr(rp, "MAX_PALLAS_TRIANGLES", 11)  # -> 3 passes
+    got = rp.rasterize_barycentric_pallas_batched(clip, tris, width, height)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(want[2]),
+                               atol=1e-5)
+
+    got_fused = rp.rasterize_interpolate_pallas_batched(
+        clip, attrs, tris, width, height)
+    np.testing.assert_array_equal(np.asarray(got_fused[0]),
+                                  np.asarray(want_fused[0]))
+    np.testing.assert_allclose(np.asarray(got_fused[1]),
+                               np.asarray(want_fused[1]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_fused[2]),
+                               np.asarray(want_fused[2]), atol=1e-5)
+
+    got_g = jax.grad(fused_loss, argnums=(0, 1))(verts, attrs)
+    for a, b in zip(got_g, want_g):
+        # per-slice accumulation reorders f32 sums; compare relative to the
+        # gradient magnitude.
+        scale = float(np.abs(np.asarray(b)).max()) + 1e-6
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-6)
 
 
-def test_soft_triangle_budget_error_is_loud():
+def test_soft_large_mesh_falls_back_to_xla_loudly():
+    """The soft Pallas kernel has no multi-pass merge (its softmax partials
+    stay in-kernel): oversized meshes warn LOUDLY and run the streaming XLA
+    scan via the dispatch, while a direct kernel call raises."""
+    import warnings
+
     import pytest
 
+    from pytorch_mesh_renderer_tpu import config as config_lib
+    from pytorch_mesh_renderer_tpu.ops import soft_rasterize as soft_lib
     from pytorch_mesh_renderer_tpu.ops import soft_rasterize_pallas as sp
 
     big_tris = np.zeros([sp.MAX_PALLAS_TRIANGLES + 1, 3], np.int32)
@@ -223,3 +256,13 @@ def test_soft_triangle_budget_error_is_loud():
         sp.soft_rasterize_pallas_batched(
             clip, big_tris, v3, v3, v3, jnp.zeros([1, 1, 3]),
             jnp.ones([1, 1]), 32, 32, 1e-4, 1e-4, interpret=False)
+
+    cfg = config_lib.SoftRasterizerConfig(backend="pallas")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = soft_lib.rasterize_clip_space_batch(
+            clip, big_tris, v3, v3, v3, jnp.zeros([1, 1, 3]),
+            jnp.ones([1, 1]), 8, 8, 1e-4, 1e-4, config=cfg)
+    assert any("exceeds the Pallas kernel's VMEM table budget"
+               in str(w.message) for w in caught)
+    assert out.shape == (1, 8, 8, 4)

@@ -83,13 +83,16 @@ def main():
             args.size, args.size, sigma_val=args.sigma, gamma_val=args.gamma)
         return images[..., 3]
 
+    # jit the preview renderer too (eager dispatch is slow on remote TPU).
+    render_alphas_jit = jax.jit(render_alphas)
+
     targets, from_file = load_targets(args.size)
     if not from_file:
         print("[example] target silhouettes missing; fitting to a stretched "
               "ellipsoid target")
         tv, _, _ = shapes.sphere(0.5, resolution=args.resolution)
         tv = tv * jnp.array([1.4, 0.7, 0.9])
-        targets = render_alphas(tv)
+        targets = render_alphas_jit(tv)
 
     def loss_fn(params):
         vertices = verts0 + params["offsets"]
@@ -125,7 +128,7 @@ def main():
                   f"(sil {float(sil):.5f} edge {float(edge):.5f} "
                   f"lap {float(lap):.5f})")
             vertices = verts0 + params["offsets"]
-            alphas = np.asarray(render_alphas(vertices))
+            alphas = np.asarray(render_alphas_jit(vertices))
             common.save_png(f"{args.out_prefix}_view0_{epoch:04d}.png",
                             alphas[0][..., None].repeat(3, -1))
             obj_io.save_obj(f"{args.out_prefix}_{epoch:04d}.obj",

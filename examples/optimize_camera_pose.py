@@ -54,6 +54,9 @@ def main():
             vertices, triangles, normals, diffuse, eye, center, up, lights,
             intensities, args.width, args.height)[0]
 
+    # jit the frame renderer too (eager dispatch is slow on remote TPU).
+    render_jit = jax.jit(render)
+
     if os.path.exists(args.target):
         target = jnp.asarray(common.load_png(args.target))
         if target.shape[:2] != (args.height, args.width):
@@ -68,7 +71,7 @@ def main():
                 [target, jnp.ones(target.shape[:2] + (1,))], axis=-1)
     else:
         print("[example] target image missing; rendering a synthetic target")
-        target = render({"eye": jnp.array([0.0, 3.2, 2.8]),
+        target = render_jit({"eye": jnp.array([0.0, 3.2, 2.8]),
                          "angles": jnp.array([-0.7, 0.1, 0.0])})
 
     params = {"eye": jnp.array([0.0, 2.5, 3.5]),
@@ -91,7 +94,7 @@ def main():
         params, opt_state, loss = step(params, opt_state)
         history.append(float(loss))
         if i % 5 == 0:
-            video.append(np.asarray(render(params)))
+            video.append(np.asarray(render_jit(params)))
             print(f"step {i}: loss {history[-1]:.5f}")
     video.close()
     common.save_loss_plot(args.out_plot, history)

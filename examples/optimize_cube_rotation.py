@@ -57,8 +57,11 @@ def main():
             v, tris, n, colors[None], eye, center, up, eye[:, None, :],
             jnp.ones([1, 1, 3]), args.size, args.size)[0]
 
+    # jit the frame renderer too: eager per-op dispatch is pathologically
+    # slow on remote/tunneled TPU backends.
+    render_jit = jax.jit(render)
     target_angles = jnp.array([-0.35, 0.0, 1.05])
-    target = render(target_angles)
+    target = render_jit(target_angles)
 
     angles = jnp.zeros(3)
     opt = optax.chain(optax.clip_by_global_norm(1.0),
@@ -78,7 +81,7 @@ def main():
     for i in range(args.steps):
         angles, opt_state, loss = step(angles, opt_state)
         history.append(float(loss))
-        video.append(np.asarray(render(angles)))
+        video.append(np.asarray(render_jit(angles)))
         if i % 10 == 0:
             print(f"step {i}: loss {history[-1]:.5f} angles "
                   f"{np.asarray(angles).round(3)}")

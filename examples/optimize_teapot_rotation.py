@@ -59,7 +59,9 @@ def main():
             jnp.ones([1, 1, 3]), args.size, args.size)[0]
 
     target_angles = jnp.array([0.0, 0.4, 0.0])
-    target = render(target_angles)
+    # jit the frame renderer too (eager dispatch is slow on remote TPU).
+    render_jit = jax.jit(render)
+    target = render_jit(target_angles)
     angles = target_angles + args.perturbation
 
     opt = optax.chain(optax.clip_by_global_norm(1.0),
@@ -79,7 +81,7 @@ def main():
     for i in range(args.steps):
         angles, opt_state, loss = step(angles, opt_state)
         history.append(float(loss))
-        video.append(np.asarray(render(angles)))
+        video.append(np.asarray(render_jit(angles)))
         if i % 10 == 0:
             print(f"step {i}: loss {history[-1]:.5f}")
     video.close()

@@ -185,7 +185,11 @@ ObjMesh* meshops_load_obj(const char* path) {
     mesh->normals =
         static_cast<float*>(std::malloc(normals.size() * sizeof(float)));
   }
-  if (!mesh->vertices || !mesh->faces || !mesh->face_normal_ids ||
+  // malloc(0) may legally return NULL; only non-empty allocations count
+  // as out-of-memory.
+  if ((!vertices.empty() && !mesh->vertices) ||
+      (!faces.empty() && !mesh->faces) ||
+      (!face_normals.empty() && !mesh->face_normal_ids) ||
       (!normals.empty() && !mesh->normals)) {
     std::free(mesh->vertices);
     std::free(mesh->faces);

@@ -173,7 +173,7 @@ def _tile_pixel_coords(ti, tj, row_off, image_width, full_height):
 
 
 def _bin_chunks(tri_data, chunk, image_width, image_height, row_offset,
-                full_height):
+                full_height, live_col=15, top_down=False):
     """Per-tile candidate chunk lists (the SURVEY §5 binning prepass).
 
     The TPU-native replacement for the reference's quadtree
@@ -185,6 +185,12 @@ def _bin_chunks(tri_data, chunk, image_width, image_height, row_offset,
     per-chunk cond — at the 512^2/10k-tri stress most tiles intersect only
     a few percent of chunks.
 
+    `live_col` points at the liveness column, with the (min_x, max_x,
+    min_y, max_y) bbox in the four columns after it (hard table: 15/16-19;
+    soft table: 21/22-25). `top_down=True` flips the tile y bounds for the
+    soft pixel grid (rows address NDC top-down). The soft Pallas module
+    reuses this helper with those arguments.
+
     Returns:
       candidates [B, R, C, n_chunks] i32, counts [B, R, C, 1] i32 — with
       R = cdiv(H, TILE_H), C = cdiv(W, TILE_W).
@@ -193,7 +199,8 @@ def _bin_chunks(tri_data, chunk, image_width, image_height, row_offset,
     n_chunks = t_pad // chunk
     n_rows = pl.cdiv(image_height, TILE_H)
     n_cols = pl.cdiv(image_width, TILE_W)
-    per_tri = tri_data[:, :, 15:20].reshape(batch, n_chunks, chunk, 5)
+    per_tri = tri_data[:, :, live_col:live_col + 5].reshape(
+        batch, n_chunks, chunk, 5)
     live = per_tri[..., 0] > 0.0
     inf = jnp.float32(np.inf)
     cmin_x = jnp.min(jnp.where(live, per_tri[..., 1], inf), axis=2)
@@ -204,8 +211,12 @@ def _bin_chunks(tri_data, chunk, image_width, image_height, row_offset,
     row_off = jnp.asarray(row_offset, jnp.float32)
     ti = jnp.arange(n_rows, dtype=jnp.float32)
     tj = jnp.arange(n_cols, dtype=jnp.float32)
-    tmin_y = (ti * TILE_H + row_off) * (2.0 / full_height) - 1.0
-    tmax_y = ((ti + 1) * TILE_H + row_off) * (2.0 / full_height) - 1.0
+    if top_down:
+        tmax_y = -(ti * TILE_H + row_off) * (2.0 / full_height) + 1.0
+        tmin_y = -((ti + 1) * TILE_H + row_off) * (2.0 / full_height) + 1.0
+    else:
+        tmin_y = (ti * TILE_H + row_off) * (2.0 / full_height) - 1.0
+        tmax_y = ((ti + 1) * TILE_H + row_off) * (2.0 / full_height) - 1.0
     tmin_x = tj * TILE_W * (2.0 / image_width) - 1.0
     tmax_x = (tj + 1) * TILE_W * (2.0 / image_width) - 1.0
 
@@ -714,9 +725,25 @@ def _pack_corner_attributes(attributes, triangles, a_pad, n_tri_padded):
 
 
 def _kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
-                  id_ref, b0_ref, b1_ref, b2_ref, z_ref, attr_ref, *,
-                  image_width, image_height, full_height, n_tri_padded,
-                  a_pad, chunk):
+                  id_ref, b0_ref, b1_ref, b2_ref, *rest, image_width,
+                  image_height, full_height, n_tri_padded, a_pad, chunk,
+                  with_z):
+    if with_z:
+        z_ref, attr_ref = rest
+    else:
+        (attr_ref,) = rest
+    _kernel_fused_body(row_off_ref, count_ref, cand_ref, tri_ref,
+                       attr_in_ref, id_ref, b0_ref, b1_ref, b2_ref,
+                       z_ref if with_z else None, attr_ref,
+                       image_width=image_width, image_height=image_height,
+                       full_height=full_height, n_tri_padded=n_tri_padded,
+                       a_pad=a_pad, chunk=chunk)
+
+
+def _kernel_fused_body(row_off_ref, count_ref, cand_ref, tri_ref,
+                       attr_in_ref, id_ref, b0_ref, b1_ref, b2_ref, z_ref,
+                       attr_ref, *, image_width, image_height, full_height,
+                       n_tri_padded, a_pad, chunk):
     """Forward tile kernel with in-tile attribute interpolation.
 
     Same binned rasterization loop as _kernel plus a flat [a_pad, P]
@@ -774,13 +801,20 @@ def _kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
     b0_ref[0] = best_b0
     b1_ref[0] = best_b1
     b2_ref[0] = best_b2
-    z_ref[0] = jnp.where(best_z > 1.0, 1.0, best_z)
+    if z_ref is not None:  # only the multi-pass merge consumes z
+        z_ref[0] = jnp.where(best_z > 1.0, 1.0, best_z)
     attr_ref[0] = best_attr.reshape(a_pad, TILE_H, TILE_W)
 
 
 def _forward_fused(tri_data, attr_packed, row_offset, image_width,
-                   image_height, full_height, interpret, chunk):
-    """Fused forward: -> (ids, bc, attrs [B, a_pad, H, W])."""
+                   image_height, full_height, interpret, chunk,
+                   with_z=False):
+    """Fused forward: -> (ids, bc, z-or-None, attrs [B, a_pad, H, W]).
+
+    The z image is materialized to HBM only when `with_z` (the multi-pass
+    depth merge is its sole consumer; single-pass callers skip the extra
+    B*H*W*4-byte write).
+    """
     batch, n_tri_padded, _ = tri_data.shape
     a3 = attr_packed.shape[-1]
     a_pad = a3 // 3
@@ -789,12 +823,13 @@ def _forward_fused(tri_data, attr_packed, row_offset, image_width,
     kernel = functools.partial(
         _kernel_fused, image_width=image_width, image_height=image_height,
         full_height=full_height, n_tri_padded=n_tri_padded, a_pad=a_pad,
-        chunk=chunk)
+        chunk=chunk, with_z=with_z)
 
+    n_f32_images = 4 if with_z else 3
     out_shape = [
         jax.ShapeDtypeStruct((batch, image_height, image_width), jnp.int32),
     ] + [jax.ShapeDtypeStruct((batch, image_height, image_width),
-                              jnp.float32)] * 4 + [
+                              jnp.float32)] * n_f32_images + [
         jax.ShapeDtypeStruct((batch, a_pad, image_height, image_width),
                              jnp.float32),
     ]
@@ -816,7 +851,7 @@ def _forward_fused(tri_data, attr_packed, row_offset, image_width,
     count_spec, cand_spec = _bin_specs(
         pl.cdiv(image_width, TILE_W), n_tri_padded // chunk)
 
-    ids, b0, b1, b2, z, attrs = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -826,11 +861,16 @@ def _forward_fused(tri_data, attr_packed, row_offset, image_width,
             tri_spec,
             attr_in_spec,
         ],
-        out_specs=[tile_spec] * 5 + [attr_out_spec],
+        out_specs=[tile_spec] * (1 + n_f32_images) + [attr_out_spec],
         out_shape=out_shape,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(row_off, counts, candidates, tri_data, attr_packed)
+    if with_z:
+        ids, b0, b1, b2, z, attrs = outs
+    else:
+        ids, b0, b1, b2, attrs = outs
+        z = None
     bc = jnp.stack([b0, b1, b2], axis=-1)
     return ids, bc, z, attrs
 
@@ -994,16 +1034,18 @@ def _backward_fused(tri_data, attr_packed, triangles, vertex_count,
     return df_dvertices, df_dattributes
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _pallas_interp_core(clip_vertices, attributes, triangles, row_offset,
-                        image_width, image_height, full_height, interpret):
+                        image_width, image_height, full_height, interpret,
+                        with_z):
     out, _ = _interp_fwd(clip_vertices, attributes, triangles, row_offset,
-                         image_width, image_height, full_height, interpret)
+                         image_width, image_height, full_height, interpret,
+                         with_z)
     return out
 
 
 def _interp_fwd(clip_vertices, attributes, triangles, row_offset,
-                image_width, image_height, full_height, interpret):
+                image_width, image_height, full_height, interpret, with_z):
     chunk = _fused_chunk_for(np.shape(triangles)[0])
     tri_data = _pack_batched(clip_vertices, triangles, chunk)
     a = attributes.shape[-1]
@@ -1012,23 +1054,23 @@ def _interp_fwd(clip_vertices, attributes, triangles, row_offset,
                                           tri_data.shape[1])
     ids, bc, z, attrs = _forward_fused(
         tri_data, attr_packed, row_offset, image_width, image_height,
-        full_height, interpret, chunk)
+        full_height, interpret, chunk, with_z=with_z)
     attr_images = jnp.moveaxis(attrs, 1, -1)[..., :a]  # [B, H, W, A]
-    out = (ids, bc, attr_images, z)
+    out = (ids, bc, attr_images) + ((z,) if with_z else ())
     residuals = (jax.lax.stop_gradient(tri_data),
                  jax.lax.stop_gradient(attr_packed), triangles,
                  clip_vertices.shape[1], a, ids, bc, row_offset)
     return out, residuals
 
 
-def _interp_bwd(image_width, image_height, full_height, interpret,
+def _interp_bwd(image_width, image_height, full_height, interpret, with_z,
                 residuals, cotangents):
     (tri_data, attr_packed, triangles, vertex_count, attribute_count, ids,
      bc, row_offset) = residuals
-    # z cotangent is discarded: the kernel produces no vertex-z gradient
+    # Any z cotangent is discarded: the kernel produces no vertex-z gradient
     # (cpp:232-269 property) and z feeds only stop-gradient-style winner
     # selection in the multi-pass merge.
-    _, df_dbc, df_dattr, _ = cotangents
+    _, df_dbc, df_dattr = cotangents[0], cotangents[1], cotangents[2]
     df_dvertices, df_dattributes = _backward_fused(
         tri_data, attr_packed, triangles, vertex_count, attribute_count,
         ids, bc, df_dbc, df_dattr, row_offset, image_width, image_height,
@@ -1069,15 +1111,16 @@ def rasterize_interpolate_pallas_batched(clip_vertices, attributes,
     tris = jnp.asarray(triangles, jnp.int32)
     row_off = jnp.asarray(row_offset, jnp.int32)
 
+    slices = _triangle_slices(tris.shape[0])
+    with_z = len(slices) > 1  # only the multi-pass merge consumes z
+
     def one_pass(tri_slice):
         return _pallas_interp_core(
             clip_vertices, attrs_f, tri_slice, row_off, int(image_width),
-            int(image_height), int(full_height), interp)
+            int(image_height), int(full_height), interp, with_z)
 
-    slices = _triangle_slices(tris.shape[0])
     if len(slices) == 1:
-        ids, bc, attr_images, _ = one_pass(tris)
-        return ids, bc, attr_images
+        return one_pass(tris)
     # Multi-pass: render <= MAX_PALLAS_TRIANGLES triangles per pass and
     # depth-merge; gradients flow through each pass's analytic custom_vjp
     # and the winner-select merge automatically.

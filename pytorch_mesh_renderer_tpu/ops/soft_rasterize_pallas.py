@@ -49,6 +49,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import rasterize_pallas as hard_pallas
 from . import soft_rasterize as soft_xla
 
 TILE_H = 16
@@ -169,52 +170,16 @@ def _bin_chunks(tri_data, image_width, image_height, row_offset,
                 full_height):
     """Per-tile candidate chunk lists (per-tile binning, SURVEY.md §5).
 
-    Soft variant of rasterize_pallas._bin_chunks: chunk-level unions of the
-    blur-inflated NDC bboxes (cols 22-25, keep gate col 21) intersected with
-    every tile; the soft pixel grid addresses rows top-down. Returns
-    (candidates [B, R, C, n_chunks] i32 — hits first, ascending; counts
-    [B, R, C, 1] i32).
+    Delegates to rasterize_pallas._bin_chunks with this table's layout:
+    keep gate at col 21 with the blur-inflated bbox in cols 22-25, and a
+    top-down pixel grid (both modules share TILE_H/TILE_W = 16/128).
     """
-    batch, t_pad, _ = tri_data.shape
-    n_chunks = t_pad // TRI_CHUNK
-    n_rows = pl.cdiv(image_height, TILE_H)
-    n_cols = pl.cdiv(image_width, TILE_W)
-    per_tri = tri_data[:, :, 21:26].reshape(batch, n_chunks, TRI_CHUNK, 5)
-    live = per_tri[..., 0] > 0.0
-    inf = jnp.float32(np.inf)
-    cmin_x = jnp.min(jnp.where(live, per_tri[..., 1], inf), axis=2)
-    cmax_x = jnp.max(jnp.where(live, per_tri[..., 2], -inf), axis=2)
-    cmin_y = jnp.min(jnp.where(live, per_tri[..., 3], inf), axis=2)
-    cmax_y = jnp.max(jnp.where(live, per_tri[..., 4], -inf), axis=2)
-
-    row_off = jnp.asarray(row_offset, jnp.float32)
-    ti = jnp.arange(n_rows, dtype=jnp.float32)
-    tj = jnp.arange(n_cols, dtype=jnp.float32)
-    tmax_y = -(ti * TILE_H + row_off) * (2.0 / full_height) + 1.0
-    tmin_y = -((ti + 1) * TILE_H + row_off) * (2.0 / full_height) + 1.0
-    tmin_x = tj * TILE_W * (2.0 / image_width) - 1.0
-    tmax_x = (tj + 1) * TILE_W * (2.0 / image_width) - 1.0
-
-    hit = ((cmin_x[:, None, None, :] <= tmax_x[None, None, :, None]) &
-           (cmax_x[:, None, None, :] >= tmin_x[None, None, :, None]) &
-           (cmin_y[:, None, None, :] <= tmax_y[None, :, None, None]) &
-           (cmax_y[:, None, None, :] >= tmin_y[None, :, None, None]))
-    counts = jnp.sum(hit, axis=-1, dtype=jnp.int32)[..., None]
-    candidates = jnp.argsort(~hit, axis=-1, stable=True).astype(jnp.int32)
-    return candidates, counts
+    return hard_pallas._bin_chunks(
+        tri_data, TRI_CHUNK, image_width, image_height, row_offset,
+        full_height, live_col=21, top_down=True)
 
 
-def _bin_specs(n_cols, n_chunks):
-    # One tile-ROW of lists per block: Mosaic requires the last two block
-    # dims to equal the array dims (or be (8, 128)-divisible), so per-tile
-    # (1, 1, 1, n) blocks are rejected whenever the image spans more than
-    # one tile column. Kernels index their list with program_id(2).
-    count_spec = pl.BlockSpec((1, 1, n_cols, 1), lambda b, i, j: (b, i, 0, 0),
-                              memory_space=pltpu.SMEM)
-    cand_spec = pl.BlockSpec((1, 1, n_cols, n_chunks),
-                             lambda b, i, j: (b, i, 0, 0),
-                             memory_space=pltpu.SMEM)
-    return count_spec, cand_spec
+_bin_specs = hard_pallas._bin_specs
 
 
 def _chunk_forward(data, px, py, light, sigma, gamma, sq_blur,

@@ -46,16 +46,21 @@ def load_library():
         if _lib is not None or _load_attempted:
             return _lib
         _load_attempted = True
-        if not os.path.exists(_LIB_PATH):
-            if not os.path.exists(os.path.join(_NATIVE_DIR, "meshops.cpp")):
-                return None
-            try:
-                subprocess.run(["make", "-C", _NATIVE_DIR],
-                               check=True, capture_output=True)
-            except (subprocess.CalledProcessError, FileNotFoundError) as e:
-                print(f"[native] build failed ({e}); using python fallback",
-                      file=sys.stderr)
-                return None
+        if not os.path.exists(os.path.join(_NATIVE_DIR, "meshops.cpp")):
+            return None
+        # Always invoke make (it is timestamp-incremental): a prebuilt .so
+        # from an older source revision would otherwise be loaded against a
+        # newer ctypes struct layout — an ABI mismatch that misparses every
+        # field after the change point.
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR],
+                           check=True, capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            print(f"[native] build failed ({e}); using python fallback",
+                  file=sys.stderr)
+            return None
+        if not os.path.exists(_LIB_PATH):  # pragma: no cover
+            return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError as e:  # pragma: no cover

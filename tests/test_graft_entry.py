@@ -27,12 +27,20 @@ def test_entry_compiles_and_runs():
     assert out.dtype == jax.numpy.float32
 
 
+needs_8_cpu_devices = pytest.mark.skipif(
+    len(jax.devices("cpu")) < 8,
+    reason="needs 8 virtual CPU devices (native-platform runs skip the "
+           "xla_force_host_platform_device_count forcing)")
+
+
+@needs_8_cpu_devices
 def test_dryrun_multichip_in_process():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
 
 
+@needs_8_cpu_devices
 def test_dryrun_multichip_odd_device_count():
     import __graft_entry__ as ge
 

@@ -173,7 +173,8 @@ def _tile_pixel_coords(ti, tj, row_off, image_width, full_height):
 
 
 def _bin_chunks(tri_data, chunk, image_width, image_height, row_offset,
-                full_height, live_col=15, top_down=False):
+                full_height, live_col=15, top_down=False, tile_h=None,
+                tile_w=None):
     """Per-tile candidate chunk lists (the SURVEY §5 binning prepass).
 
     The TPU-native replacement for the reference's quadtree
@@ -195,10 +196,12 @@ def _bin_chunks(tri_data, chunk, image_width, image_height, row_offset,
       candidates [B, R, C, n_chunks] i32, counts [B, R, C, 1] i32 — with
       R = cdiv(H, TILE_H), C = cdiv(W, TILE_W).
     """
+    tile_h = TILE_H if tile_h is None else tile_h
+    tile_w = TILE_W if tile_w is None else tile_w
     batch, t_pad, _ = tri_data.shape
     n_chunks = t_pad // chunk
-    n_rows = pl.cdiv(image_height, TILE_H)
-    n_cols = pl.cdiv(image_width, TILE_W)
+    n_rows = pl.cdiv(image_height, tile_h)
+    n_cols = pl.cdiv(image_width, tile_w)
     per_tri = tri_data[:, :, live_col:live_col + 5].reshape(
         batch, n_chunks, chunk, 5)
     live = per_tri[..., 0] > 0.0
@@ -212,13 +215,13 @@ def _bin_chunks(tri_data, chunk, image_width, image_height, row_offset,
     ti = jnp.arange(n_rows, dtype=jnp.float32)
     tj = jnp.arange(n_cols, dtype=jnp.float32)
     if top_down:
-        tmax_y = -(ti * TILE_H + row_off) * (2.0 / full_height) + 1.0
-        tmin_y = -((ti + 1) * TILE_H + row_off) * (2.0 / full_height) + 1.0
+        tmax_y = -(ti * tile_h + row_off) * (2.0 / full_height) + 1.0
+        tmin_y = -((ti + 1) * tile_h + row_off) * (2.0 / full_height) + 1.0
     else:
-        tmin_y = (ti * TILE_H + row_off) * (2.0 / full_height) - 1.0
-        tmax_y = ((ti + 1) * TILE_H + row_off) * (2.0 / full_height) - 1.0
-    tmin_x = tj * TILE_W * (2.0 / image_width) - 1.0
-    tmax_x = (tj + 1) * TILE_W * (2.0 / image_width) - 1.0
+        tmin_y = (ti * tile_h + row_off) * (2.0 / full_height) - 1.0
+        tmax_y = ((ti + 1) * tile_h + row_off) * (2.0 / full_height) - 1.0
+    tmin_x = tj * tile_w * (2.0 / image_width) - 1.0
+    tmax_x = (tj + 1) * tile_w * (2.0 / image_width) - 1.0
 
     hit = ((cmin_x[:, None, None, :] <= tmax_x[None, None, :, None]) &
            (cmax_x[:, None, None, :] >= tmin_x[None, None, :, None]) &

@@ -57,7 +57,8 @@ TILE_W = 128
 # (16, 128) tiles. Chunk size doubles as the binning granularity
 # (candidate lists are chunk-aligned); with per-tile binning, chunk 16
 # measured fastest at the 128^2 teapot fwd+bwd (284 vs 261 renders/s at
-# 32 on v5e).
+# 32 on v5e; (8, 128) tiles with chunk 8 measured 277 — smaller soft tiles
+# don't pay for their loop overhead).
 TRI_CHUNK = 16
 _COLS = 53
 EPS = soft_xla.EPS
@@ -171,12 +172,13 @@ def _bin_chunks(tri_data, image_width, image_height, row_offset,
     """Per-tile candidate chunk lists (per-tile binning, SURVEY.md §5).
 
     Delegates to rasterize_pallas._bin_chunks with this table's layout:
-    keep gate at col 21 with the blur-inflated bbox in cols 22-25, and a
-    top-down pixel grid (both modules share TILE_H/TILE_W = 16/128).
+    keep gate at col 21 with the blur-inflated bbox in cols 22-25, a
+    top-down pixel grid, and THIS module's tile dimensions.
     """
     return hard_pallas._bin_chunks(
         tri_data, TRI_CHUNK, image_width, image_height, row_offset,
-        full_height, live_col=21, top_down=True)
+        full_height, live_col=21, top_down=True, tile_h=TILE_H,
+        tile_w=TILE_W)
 
 
 _bin_specs = hard_pallas._bin_specs

@@ -143,3 +143,42 @@ def test_spmd_train_step_reduces_loss():
         params, opt_state, loss = step(params, opt_state, batch)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+@needs_8_devices
+def test_sharded_soft_rasterize_gradients_match():
+    """Soft sharded gradients (batch + pixel-row psums through shard_map)
+    equal the single-device gradients."""
+    batch = 2
+    verts, tris, _ = shapes.sphere(1.0, resolution=6)
+    verts = jnp.tile(verts[None], [batch, 1, 1])
+    colors = jnp.ones_like(verts) * 0.7
+    lights = jnp.tile(jnp.array([[[0.0, 3.0, 3.0]]]), [batch, 1, 1])
+    intensities = jnp.ones([batch, 1])
+    eye = jnp.tile(jnp.array([[0.0, 0.0, 4.0]]), [batch, 1])
+    center = jnp.zeros([batch, 3])
+    up = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), [batch, 1])
+    cams = camera.clip_space_transforms(
+        eye, center, up, jnp.full([batch], 40.0), jnp.full([batch], 0.01),
+        jnp.full([batch], 10.0), 16, 16)
+
+    def loss_single(v):
+        normals = mesh_ops.compute_vertex_normals(v, tris)
+        img = soft_rasterize.rasterize(
+            v, tris, normals, colors, lights, intensities, cams, 16, 16,
+            1e-4, 1e-4)
+        return jnp.mean(img[..., 3] ** 2)
+
+    m = parallel.make_mesh(data=2, space=4)
+
+    def loss_sharded(v):
+        normals = mesh_ops.compute_vertex_normals(v, tris)
+        img = parallel.sharded_soft_rasterize(
+            m, v, tris, normals, colors, lights, intensities, cams, 16, 16,
+            1e-4, 1e-4)
+        return jnp.mean(img[..., 3] ** 2)
+
+    g_single = jax.grad(loss_single)(verts)
+    g_sharded = jax.jit(jax.grad(loss_sharded))(verts)
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single),
+                               rtol=1e-4, atol=1e-6)

@@ -85,34 +85,24 @@ def _pallas_usable(blur_radius, backend, triangles=None):
     """True when the Pallas soft backend can take these arguments.
 
     Only blur_radius must be static (it shapes the packed bboxes);
-    sigma/gamma are traced SMEM params. A traced blur — or a mesh beyond
-    the kernel's VMEM-resident triangle-table budget — falls back to the
-    XLA scan with a LOUD warning (it is much slower on TPU) — real bugs in
-    the Pallas path propagate instead of silently switching backends.
+    sigma/gamma are traced SMEM params and meshes beyond the VMEM table
+    budget render in multiple merged passes. A traced blur falls back to
+    the XLA scan with a LOUD warning (it is ~100x slower on TPU) — real
+    bugs in the Pallas path propagate instead of silently switching
+    backends.
     """
+    del triangles  # any size: the Pallas wrapper multi-passes large meshes
+    if not isinstance(blur_radius, jax.core.Tracer):
+        return True
     import warnings
 
-    if isinstance(blur_radius, jax.core.Tracer):
-        warnings.warn(
-            "soft rasterizer: blur_radius is a traced value, which the "
-            "Pallas backend cannot take (it shapes the packed triangle "
-            f"bboxes); falling back from backend='{backend}' to the "
-            "~100x-slower XLA scan. Pass blur_radius as a static float to "
-            "stay on the TPU kernel.", RuntimeWarning, stacklevel=3)
-        return False
-    if triangles is not None:
-        from .soft_rasterize_pallas import MAX_PALLAS_TRIANGLES
-        import numpy as np
-
-        if np.shape(triangles)[0] > MAX_PALLAS_TRIANGLES:
-            warnings.warn(
-                f"soft rasterizer: {np.shape(triangles)[0]} triangles "
-                f"exceeds the Pallas kernel's VMEM table budget "
-                f"({MAX_PALLAS_TRIANGLES}); falling back from backend="
-                f"'{backend}' to the slower streaming XLA scan.",
-                RuntimeWarning, stacklevel=3)
-            return False
-    return True
+    warnings.warn(
+        "soft rasterizer: blur_radius is a traced value, which the Pallas "
+        "backend cannot take (it shapes the packed triangle bboxes); "
+        f"falling back from backend='{backend}' to the ~100x-slower XLA "
+        "scan. Pass blur_radius as a static float to stay on the TPU "
+        "kernel.", RuntimeWarning, stacklevel=3)
+    return False
 
 
 def rasterize_batch(clip_space_vertices, triangles, world_space_vertices,

@@ -344,9 +344,9 @@ def _fwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
 
 def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
                 max_ref, sumw_ref, sil_ref, rgb0_ref, rgb1_ref, rgb2_ref,
-                dr_ref, dg_ref, db_ref, da_ref, ddata_ref, dlights_ref,
-                dparams_ref, *, image_width, image_height, full_height,
-                n_tri_padded, n_lights):
+                dr_ref, dg_ref, db_ref, da_ref, dsw_ref, ddata_ref,
+                dlights_ref, dparams_ref, *, image_width, image_height,
+                full_height, n_tri_padded, n_lights):
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     sigma = params_ref[0]
@@ -389,6 +389,14 @@ def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
     d_g = load(dg_ref, 0.0)
     d_b = load(db_ref, 0.0)
     d_a = load(da_ref, 0.0)
+    # Cotangent of the RAW weight sum output (multi-pass merge path; zero
+    # for plain rgba consumers). d(sum_w)/dW = 1 per lane, so it simply
+    # adds to the rgb path's per-lane dW cotangent `common`. The running
+    # max m is treated as a constant here, which combined with the merge
+    # wrapper DISCARDING the m cotangent is exactly right: the merged
+    # result is invariant under (m -> m+d, sumw -> sumw*e^-d), so the two
+    # frame terms cancel identically (up to the bg clamp corner).
+    d_sw = load(dsw_ref, 0.0)
     bg = jnp.maximum(jnp.exp(EPS / gamma - run_max), EPS)
     inv_total = (1.0 / (sum_w + bg))[None]  # [1, TH, TW]
 
@@ -445,6 +453,7 @@ def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
             common = (d_r[None] * (q["shade_r"] - rgb_r[None]) +
                       d_g[None] * (q["shade_g"] - rgb_g[None]) +
                       d_b[None] * (q["shade_b"] - rgb_b[None])) * inv_total
+            common = common + d_sw[None]
             ds_r = d_r[None] * W * inv_total
             ds_g = d_g[None] * W * inv_total
             ds_b = d_b[None] * W * inv_total
@@ -660,8 +669,8 @@ def _run_forward(tri_data, lights, params, row_offset, image_width,
 
 
 def _run_backward(tri_data, lights, params, row_offset, run_max, sum_w, sil,
-                  rgb, cotangent, image_width, image_height, full_height,
-                  n_lights, interpret):
+                  rgb, cotangent, d_sumw, image_width, image_height,
+                  full_height, n_lights, interpret):
     """Batched backward: [B, ...] residuals -> (ddata [B, T, 53],
     dlights [B, L, 4])."""
     batch, n_tri_padded, _ = tri_data.shape
@@ -701,7 +710,7 @@ def _run_backward(tri_data, lights, params, row_offset, run_max, sum_w, sil,
             count_spec,
             cand_spec,
             tri_spec,
-        ] + [tile_spec] * 10,
+        ] + [tile_spec] * 11,
         out_specs=[acc_spec_data, acc_spec_lights, acc_spec_params],
         out_shape=[
             jax.ShapeDtypeStruct((batch, n_tri_padded, _COLS), jnp.float32),
@@ -712,7 +721,7 @@ def _run_backward(tri_data, lights, params, row_offset, run_max, sum_w, sil,
         interpret=interpret,
     )(params, lights, counts, candidates, tri_data, run_max, sum_w, sil,
       rgb[..., 0], rgb[..., 1], rgb[..., 2], cotangent[..., 0],
-      cotangent[..., 1], cotangent[..., 2], cotangent[..., 3])
+      cotangent[..., 1], cotangent[..., 2], cotangent[..., 3], d_sumw)
     return ddata, dlights, dparams
 
 
@@ -729,23 +738,23 @@ _pack_batched = jax.vmap(_pack_triangle_data,
                          in_axes=(0, None, 0, 0, 0, None))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
 def _soft_pallas_core(clip_space_vertices, triangles, world_space_vertices,
                       normals, diffuse_colors, light_positions,
                       light_intensities, row_offset, sigma_val, gamma_val,
                       image_width, image_height, blur_radius,
-                      full_height, interpret):
+                      full_height, interpret, raw=False):
     out, _ = _fwd(clip_space_vertices, triangles, world_space_vertices,
                   normals, diffuse_colors, light_positions,
                   light_intensities, row_offset, sigma_val, gamma_val,
                   image_width, image_height, blur_radius, full_height,
-                  interpret)
+                  interpret, raw)
     return out
 
 
 def _fwd(clip_v, triangles, world_v, normals, colors, lights, intensities,
          row_offset, sigma_val, gamma_val, image_width, image_height,
-         blur_radius, full_height, interpret):
+         blur_radius, full_height, interpret, raw=False):
     tri_data = _pack_batched(clip_v, triangles, world_v, normals, colors,
                              blur_radius)
     lights_packed = jnp.concatenate(
@@ -755,7 +764,11 @@ def _fwd(clip_v, triangles, world_v, normals, colors, lights, intensities,
     r, g, b, a, run_max, sum_w = _run_forward(
         tri_data, lights_packed, params, row_offset, image_width,
         image_height, full_height, lights.shape[-2], interpret)
-    out = jnp.stack([r, g, b, a], axis=-1)
+    rgba = jnp.stack([r, g, b, a], axis=-1)
+    # raw mode additionally exposes the online-softmax state (running max,
+    # in-frame weight sum) so the multi-pass wrapper can merge passes
+    # exactly; the m cotangent is analytically zero through the merge.
+    out = (rgba, run_max, sum_w) if raw else rgba
     residuals = (triangles, jax.lax.stop_gradient(tri_data),
                  jax.lax.stop_gradient(lights_packed),
                  jax.lax.stop_gradient(params), run_max,
@@ -765,13 +778,17 @@ def _fwd(clip_v, triangles, world_v, normals, colors, lights, intensities,
 
 
 def _bwd(image_width, image_height, blur_radius, full_height, interpret,
-         residuals, cotangent):
+         raw, residuals, cotangent):
     (triangles, tri_data, lights_packed, params, run_max, sum_w, rgb, alpha,
      clip_v, world_v, normals, colors) = residuals
+    if raw:
+        cotangent, _dm, d_sumw = cotangent  # m cotangent: see _fwd note
+    else:
+        d_sumw = jnp.zeros_like(sum_w)
     ddata, dlights_packed, dparams = _run_backward(
         tri_data, lights_packed, params, params[3], run_max, sum_w,
-        1.0 - alpha, rgb, cotangent, image_width, image_height, full_height,
-        lights_packed.shape[-2], interpret)
+        1.0 - alpha, rgb, cotangent, d_sumw, image_width, image_height,
+        full_height, lights_packed.shape[-2], interpret)
     # Transpose the (cheap) packing to reach clip vertices and attributes.
     _, pack_vjp = jax.vjp(
         lambda cv, wv, nn, cc: _pack_batched(
@@ -829,24 +846,55 @@ def soft_rasterize_pallas_batched(clip_space_vertices, triangles,
             "rasterizer (it shapes the packed triangle bboxes); sigma/gamma "
             "may be traced. Use the XLA backend "
             "(SoftRasterizerConfig(backend='xla')) to trace blur_radius.")
-    interp = _default_interpret(interpret)
-    if not interp and np.shape(triangles)[0] > MAX_PALLAS_TRIANGLES:
-        raise ValueError(
-            f"soft_rasterize_pallas: {np.shape(triangles)[0]} triangles "
-            f"exceeds the VMEM-resident table budget "
-            f"(MAX_PALLAS_TRIANGLES={MAX_PALLAS_TRIANGLES}). Render very "
-            "large meshes with the XLA backend "
-            "(SoftRasterizerConfig(backend='xla')), which streams triangle "
-            "chunks through a scan.")
-    interpret = interp
-    return _soft_pallas_core(
-        clip_space_vertices, jnp.asarray(triangles, jnp.int32),
-        world_space_vertices, normals, diffuse_colors, light_positions,
-        light_intensities, jnp.asarray(row_offset, jnp.int32),
-        jnp.asarray(sigma_val, jnp.float32), jnp.asarray(gamma_val,
-                                                         jnp.float32),
-        int(image_width), int(image_height), float(blur_radius),
-        int(full_height), interpret)
+    interpret = _default_interpret(interpret)
+    tris = jnp.asarray(triangles, jnp.int32)
+    row_off = jnp.asarray(row_offset, jnp.int32)
+    sigma = jnp.asarray(sigma_val, jnp.float32)
+    gamma = jnp.asarray(gamma_val, jnp.float32)
+
+    def one_pass(tri_slice, raw):
+        return _soft_pallas_core(
+            clip_space_vertices, tri_slice, world_space_vertices, normals,
+            diffuse_colors, light_positions, light_intensities, row_off,
+            sigma, gamma, int(image_width), int(image_height),
+            float(blur_radius), int(full_height), interpret, raw)
+
+    n_tri = tris.shape[0]
+    if n_tri <= MAX_PALLAS_TRIANGLES:
+        return one_pass(tris, False)
+
+    # Multi-pass: render <= MAX_PALLAS_TRIANGLES triangles per pass and
+    # merge the online-softmax states exactly. Per pass p (in its own
+    # running-max frame m_p): the in-frame color sum is recovered as
+    # rgb_p * (sumw_p + bg_p) (the background contributes no color), all
+    # partial sums rescale by e^(m_p - m) into the global frame
+    # m = max_p m_p, and the silhouette alpha composes multiplicatively.
+    # The result is identical to a single pass over all triangles (the
+    # aggregation is associative); gradients flow through each pass's
+    # analytic VJP (see the raw-mode notes in _fwd/_bwd).
+    parts = []
+    start = 0
+    while start < n_tri:
+        size = min(MAX_PALLAS_TRIANGLES, n_tri - start)
+        parts.append(one_pass(tris[start:start + size], True))
+        start += size
+
+    m = parts[0][1]
+    for rgba_p, m_p, _ in parts[1:]:
+        m = jnp.maximum(m, m_p)
+    sum_w = 0.0
+    sum_c = 0.0
+    sil = 1.0
+    for rgba_p, m_p, sumw_p in parts:
+        bg_p = jnp.maximum(jnp.exp(EPS / gamma - m_p), EPS)
+        scale_p = jnp.exp(m_p - m)
+        sum_w = sum_w + sumw_p * scale_p
+        sum_c = sum_c + (rgba_p[..., :3] * (sumw_p + bg_p)[..., None]
+                         * scale_p[..., None])
+        sil = sil * (1.0 - rgba_p[..., 3])
+    bg = jnp.maximum(jnp.exp(EPS / gamma - m), EPS)
+    rgb = sum_c / (sum_w + bg)[..., None]
+    return jnp.concatenate([rgb, 1.0 - sil[..., None]], axis=-1)
 
 
 def rasterize_batch_pallas(clip_space_vertices, triangles,

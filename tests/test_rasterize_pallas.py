@@ -237,32 +237,49 @@ def test_multi_pass_large_mesh_matches_single_pass(monkeypatch):
                                    np.asarray(b) / scale, atol=1e-6)
 
 
-def test_soft_large_mesh_falls_back_to_xla_loudly():
-    """The soft Pallas kernel has no multi-pass merge (its softmax partials
-    stay in-kernel): oversized meshes warn LOUDLY and run the streaming XLA
-    scan via the dispatch, while a direct kernel call raises."""
-    import warnings
+def test_soft_multi_pass_large_mesh_matches_single_pass(monkeypatch):
+    """Soft meshes beyond MAX_PALLAS_TRIANGLES render in merged
+    online-softmax passes that match the single pass: forward rgba and all
+    gradients (scene inputs AND sigma/gamma). Exercised by shrinking the
+    per-pass cap so a 2-triangle scene takes 2 passes."""
+    from test_soft_pallas import _scene, SIZE, BLUR
 
-    import pytest
-
-    from pytorch_mesh_renderer_tpu import config as config_lib
-    from pytorch_mesh_renderer_tpu.ops import soft_rasterize as soft_lib
     from pytorch_mesh_renderer_tpu.ops import soft_rasterize_pallas as sp
 
-    big_tris = np.zeros([sp.MAX_PALLAS_TRIANGLES + 1, 3], np.int32)
-    clip = jnp.zeros([1, 3, 4], jnp.float32)
-    v3 = jnp.zeros([1, 3, 3], jnp.float32)
-    with pytest.raises(ValueError, match="backend='xla'"):
-        sp.soft_rasterize_pallas_batched(
-            clip, big_tris, v3, v3, v3, jnp.zeros([1, 1, 3]),
-            jnp.ones([1, 1]), 32, 32, 1e-4, 1e-4, interpret=False)
+    args, tris = _scene()
+    clip, world, normals, colors, lights, intens = args
+    sigma, gamma = jnp.float32(1e-3), jnp.float32(1e-2)
 
-    cfg = config_lib.SoftRasterizerConfig(backend="pallas")
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        out = soft_lib.rasterize_clip_space_batch(
-            clip, big_tris, v3, v3, v3, jnp.zeros([1, 1, 3]),
-            jnp.ones([1, 1]), 8, 8, 1e-4, 1e-4, config=cfg)
-    assert any("exceeds the Pallas kernel's VMEM table budget"
-               in str(w.message) for w in caught)
-    assert out.shape == (1, 8, 8, 4)
+    def render():
+        return sp.rasterize_batch_pallas(
+            clip, tris, world, normals, colors, lights, intens, SIZE, SIZE,
+            sigma, gamma, BLUR)
+
+    def loss(c, w, n, col, li, inten, sg, gm):
+        out = sp.rasterize_batch_pallas(
+            c, tris, w, n, col, li, inten, SIZE, SIZE, sg, gm, BLUR)
+        return jnp.sum(out * jnp.linspace(0.3, 1.1, out.size).reshape(
+            out.shape))
+
+    want = np.asarray(render())
+    want_g = jax.grad(loss, argnums=tuple(range(8)))(
+        clip, world, normals, colors, lights, intens, sigma, gamma)
+
+    monkeypatch.setattr(sp, "MAX_PALLAS_TRIANGLES", 1)  # -> 2 passes
+    got = np.asarray(render())
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
+
+    got_g = jax.grad(loss, argnums=tuple(range(8)))(
+        clip, world, normals, colors, lights, intens, sigma, gamma)
+    for name, a, b in zip(
+            ("clip", "world", "normals", "colors", "lights", "intens",
+             "sigma", "gamma"), got_g, want_g):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.abs(b).max()), 1e-6)
+        # gamma: the merge's AD includes the background weight's gamma
+        # dependence (exp(EPS/gamma - m) terms) that the in-kernel dgamma
+        # deliberately drops as O(EPS/gamma^2); the two estimates differ by
+        # ~0.1% here (the multi-pass one is the more complete of the two).
+        atol = 5e-3 if name == "gamma" else 1e-5
+        np.testing.assert_allclose(a / scale, b / scale, atol=atol,
+                                   err_msg=f"{name} gradient mismatch")

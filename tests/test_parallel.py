@@ -182,3 +182,26 @@ def test_sharded_soft_rasterize_gradients_match():
     g_sharded = jax.jit(jax.grad(loss_sharded))(verts)
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single),
                                rtol=1e-4, atol=1e-6)
+
+
+@needs_8_devices
+def test_sharded_rasterize_multi_pass_large_mesh(monkeypatch):
+    """Multi-pass triangle slicing composes with (data, space) sharding:
+    shrinking the per-pass cap inside the shard_mapped kernel still
+    reproduces the single-device render."""
+    from pytorch_mesh_renderer_tpu import config as config_lib
+    from pytorch_mesh_renderer_tpu.ops import rasterize_pallas as rp
+
+    cfg = config_lib.HardRasterizerConfig(backend="pallas")
+    verts, tris, attrs, cams = _cube_scene(batch=4)
+    background = np.zeros([3], np.float32)
+    expected = rasterize(verts, attrs, tris, cams, 16, 16, background,
+                         config=cfg)
+
+    monkeypatch.setattr(rp, "MAX_PALLAS_TRIANGLES", 5)  # 12 tris -> 3 passes
+    m = parallel.make_mesh(data=2, space=4)
+    got = jax.jit(lambda v, a, c: parallel.sharded_rasterize(
+        m, v, a, tris, c, 16, 16, background, config=cfg))(verts, attrs,
+                                                           cams)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)

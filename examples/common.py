@@ -18,11 +18,31 @@ DEFAULT_TEAPOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "assets", "teapot.obj")
 
-# Optional location of the upstream reference's example assets (target PNGs
-# for the pose/shape-fitting demos); every example synthesizes its own
-# target when these are absent.
+# Vendored optimization targets (the reference's example*_target*.png,
+# /root/reference/src/examples — cow silhouettes etc.), so a standalone
+# clone fits the reference's actual targets instead of procedural stand-ins.
+EXAMPLE_TARGETS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "assets", "example_targets")
+
+# Optional location of the upstream reference's example assets; only used as
+# a fallback when a vendored target is missing.
 REFERENCE_EXAMPLES = os.environ.get(
     "MESH_RENDERER_REFERENCE_EXAMPLES", "/root/reference/src/examples")
+
+
+def target_path(name):
+    """Path of an example target PNG: vendored asset, else reference checkout.
+
+    Returns the vendored assets/example_targets path when it exists (the
+    normal case), otherwise the corresponding path under the reference
+    checkout; callers fall back to synthesizing a target when neither
+    exists.
+    """
+    vendored = os.path.join(EXAMPLE_TARGETS, name)
+    if os.path.exists(vendored):
+        return vendored
+    return os.path.join(REFERENCE_EXAMPLES, name)
 
 
 def load_teapot(path=None, normalize=True):

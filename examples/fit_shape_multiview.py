@@ -26,9 +26,9 @@ import common
 
 
 def load_targets(size):
-    """The reference's four cow silhouettes, or a synthesized box target."""
-    paths = [os.path.join(common.REFERENCE_EXAMPLES,
-                          f"example7b_target{i}.png") for i in range(1, 5)]
+    """The reference's four cow silhouettes (vendored), or a box target."""
+    paths = [common.target_path(f"example7b_target{i}.png")
+             for i in range(1, 5)]
     if all(os.path.exists(p) for p in paths):
         imgs = []
         for p in paths:

@@ -25,8 +25,7 @@ def main():
     parser.add_argument("--obj", type=str, default=None)
     parser.add_argument(
         "--target", type=str,
-        default=os.path.join(common.REFERENCE_EXAMPLES,
-                             "example4_target.png"))
+        default=common.target_path("example4_target.png"))
     parser.add_argument("--out-video", type=str, default="camera_pose.mp4")
     parser.add_argument("--out-plot", type=str, default="camera_pose_loss.png")
     parser.add_argument("--steps", type=int, default=100)

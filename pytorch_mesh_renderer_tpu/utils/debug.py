@@ -28,12 +28,19 @@ def check_isnan_isinf(tensor, msg: str = "") -> None:
 
 
 def debug_check_finite(tensor, msg: str = "") -> None:
-    """jit-safe NaN/Inf check: prints a warning from inside compiled code.
+    """jit-safe NaN/Inf check: warns from inside compiled code ONLY on
+    failure.
 
-    Usable under jit/vmap where `check_isnan_isinf` cannot run. Use
-    `jax.debug.callback`-based printing rather than raising so compiled
+    Usable under jit/vmap where `check_isnan_isinf` cannot run; silent on
+    finite tensors so it can stay always-on in training loops (SURVEY §5).
+    Uses `jax.debug.print` under `lax.cond` rather than raising so compiled
     training steps are never invalidated.
     """
     bad = jnp.logical_or(jnp.isnan(tensor).any(), jnp.isinf(tensor).any())
-    jax.debug.print("[debug_check_finite] {msg}: non_finite={bad}",
-                    msg=msg, bad=bad)
+
+    def _warn(_):
+        jax.debug.print(
+            "[debug_check_finite] {msg}: NON-FINITE values detected",
+            msg=msg)
+
+    jax.lax.cond(bad, _warn, lambda _: None, 0)

@@ -133,6 +133,31 @@ def test_debug_check_isnan_isinf():
         debug.check_isnan_isinf(jnp.array([1.0, jnp.inf]))
 
 
+def test_debug_check_finite_silent_when_clean(capfd):
+    @jax.jit
+    def f(x):
+        debug.debug_check_finite(x, "clean")
+        return x * 2.0
+
+    jax.block_until_ready(f(jnp.ones([4])))
+    jax.effects_barrier()
+    out = capfd.readouterr()
+    assert "debug_check_finite" not in out.out + out.err
+
+
+def test_debug_check_finite_warns_on_nan(capfd):
+    @jax.jit
+    def f(x):
+        debug.debug_check_finite(x, "poisoned")
+        return x * 2.0
+
+    jax.block_until_ready(f(jnp.array([1.0, jnp.nan])))
+    jax.effects_barrier()
+    out = capfd.readouterr()
+    assert "poisoned" in out.out + out.err
+    assert "NON-FINITE" in out.out + out.err
+
+
 def test_measure_throughput():
     f = jax.jit(lambda x: x * 2.0)
     rate, dt = profiling.measure_throughput(f, jnp.ones([8]), iters=3,

@@ -22,9 +22,15 @@ class HardRasterizerConfig:
         or 'auto' (pallas on TPU, xla elsewhere).
       triangle_chunk: triangles processed per scan step in the XLA backend;
         bounds peak memory at H*W*chunk intermediates.
+      dot_precision: 'default' (plain bf16 MXU dots — ~0.5%-relative
+        gradient noise on TPU, measured inside every parity gate) or
+        'highest' (bf16x6 — exact f32 parity with the XLA spec at ~29%
+        end-to-end cost). Affects only the Pallas backend's in-kernel
+        matmuls; see rasterize_pallas.DOT_PRECISIONS.
     """
     backend: str = "auto"
     triangle_chunk: int = 64
+    dot_precision: str = "default"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,6 +46,7 @@ class SoftRasterizerConfig:
     backend: str = "auto"
     triangle_chunk: int = 64
     eps: float = 1e-10
+    dot_precision: str = "default"
 
 
 HARD_CONFIG = HardRasterizerConfig()

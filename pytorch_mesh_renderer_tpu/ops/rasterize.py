@@ -47,7 +47,8 @@ def rasterize_barycentric(clip_space_vertices, triangles, image_width,
         else:
             return rasterize_barycentric_pallas(
                 clip_space_vertices, triangles, image_width, image_height,
-                row_offset=row_offset, full_height=full_height)
+                row_offset=row_offset, full_height=full_height,
+                dot_precision=cfg.dot_precision)
     return rasterize_barycentric_xla(
         clip_space_vertices, triangles, image_width, image_height,
         cfg.triangle_chunk, row_offset=row_offset, full_height=full_height)
@@ -112,7 +113,8 @@ def rasterize_clip_space(clip_space_vertices, attributes, triangles,
             rasterize_interpolate_pallas_batched(
                 clip_space_vertices, jnp.asarray(attributes, jnp.float32),
                 tris, image_width, image_height,
-                row_offset=row_offset, full_height=full_height))
+                row_offset=row_offset, full_height=full_height,
+                dot_precision=cfg.dot_precision))
     else:
         def kernel(verts):
             return rasterize_barycentric(

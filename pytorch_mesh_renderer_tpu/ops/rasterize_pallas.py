@@ -91,23 +91,35 @@ def _fused_chunk_for(n_triangles):
     return (FUSED_TRI_CHUNK_LARGE if n_triangles >= FUSED_LARGE_T_THRESHOLD
             else FUSED_TRI_CHUNK)
 
-# In-kernel dot precision. These dots feed rendered images and analytic
-# gradients, so precision was checked explicitly on TPU v5e: with DEFAULT,
-# fused-vs-XLA-spec parity measures 4.2e-6 max abs fwd error and ~7e-7 max
-# relative gradient error — identical to HIGHEST (the contractions select
-# one winner row, so low-order mantissa bits of the f32 decomposition don't
-# accumulate). HIGHEST costs ~1.8x end-to-end (bf16x6 passes), so DEFAULT
-# is correct here. tests/test_rasterize_pallas.py pins the parity.
-_DOT_PRECISION = jax.lax.Precision.DEFAULT
-# Backward reduction dots ([C, P] x [P, 3] / [C, P] x [P, A]): at DEFAULT
-# they run as plain bf16 MXU dots, which adds ~0.5% relative noise to the
-# vertex/attribute gradients (measured compiled-vs-XLA on v5e, 64x48 cube).
-# HIGHEST removes the noise but costs 29% end-to-end (567 -> 401 renders/s
-# at the 256^2 headline; Mosaic supports no bf16x3 middle ground — HIGH is
-# rejected). 0.5% sits inside every reference gradient gate (1% relative
-# outlier budget) and is immaterial to SGD, so DEFAULT is the right default;
-# flip this constant for exact-parity debugging.
-_BWD_DOT_PRECISION = jax.lax.Precision.DEFAULT
+# In-kernel dot precision, a HardRasterizerConfig knob (`dot_precision`).
+# These dots feed rendered images and analytic gradients, so precision was
+# checked explicitly on TPU v5e:
+#   * forward interpolation dots: DEFAULT (plain bf16 MXU) measures 4.2e-6
+#     max abs fwd error vs the XLA spec — identical to HIGHEST (the
+#     contractions select one winner row, so low-order mantissa bits of the
+#     f32 decomposition don't accumulate);
+#   * backward reduction dots ([C, P] x [P, 3] / [C, P] x [P, A]): DEFAULT
+#     adds ~0.5% relative noise to the vertex/attribute gradients (measured
+#     compiled-vs-XLA on v5e, 64x48 cube) — inside every reference gradient
+#     gate (1% relative outlier budget) and immaterial to SGD.
+# "highest" (bf16x6 passes) removes the noise but costs ~29% end-to-end
+# (567 -> 401 renders/s at the 256^2 headline; Mosaic rejects HIGH, so
+# there is no bf16x3 middle ground). DEFAULT is therefore the default;
+# select dot_precision="highest" on the config for exact-parity debugging
+# (pinned on TPU by tests/test_rasterize_pallas.py).
+DOT_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _resolve_precision(name):
+    try:
+        return DOT_PRECISIONS[name]
+    except KeyError:
+        raise ValueError(
+            f"dot_precision must be one of {sorted(DOT_PRECISIONS)}, got "
+            f"{name!r} (Mosaic supports no other dot precisions).") from None
 
 # Packed triangle-data columns (see _pack_triangle_data).
 _COLS = 21
@@ -152,9 +164,11 @@ def _pack_triangle_data(clip_vertices, triangles, chunk):
     ], axis=-1)  # [T, 21]
 
     t = data.shape[0]
-    pad = (-t) % chunk
+    # Zero-triangle meshes still pad to one full (all-dead) chunk so the
+    # kernels always see a non-empty table; every padded row has live=0.
+    pad = chunk if t == 0 else (-t) % chunk
     if pad:
-        data = jnp.pad(data, [(0, pad), (0, 0)])  # padded rows: live=0
+        data = jnp.pad(data, [(0, pad), (0, 0)])
     return data
 
 
@@ -473,7 +487,7 @@ def _bwd_tile_inputs(ti, tj, id_ref, b0_ref, b1_ref, b2_ref, g0_ref, g1_ref,
 
 
 def _bwd_chunk_core(data, mask, g0t, g1t, g2t, gb, bmat, chunk, n_pix,
-                    dcorner_ref, c):
+                    dcorner_ref, c, precision):
     """Analytic vertex-gradient chain for one chunk (cpp:131-273).
 
     Pixels whose winning id matches a chunk triangle contribute
@@ -498,14 +512,15 @@ def _bwd_chunk_core(data, mask, g0t, g1t, g2t, gb, bmat, chunk, n_pix,
             t_c.reshape(chunk, n_pix), bmat,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_BWD_DOT_PRECISION)  # [C, 3]
+            precision=precision)  # [C, 3]
         sl = (0, pl.ds(c * chunk, chunk), pl.ds(cc * 3, 3))
         dcorner_ref[sl] = dcorner_ref[sl] + red
 
 
 def _bwd_kernel(row_off_ref, count_ref, cand_ref, tri_ref, id_ref, b0_ref,
                 b1_ref, b2_ref, g0_ref, g1_ref, g2_ref, dcorner_ref, *,
-                image_width, image_height, full_height, n_tri_padded):
+                image_width, image_height, full_height, n_tri_padded,
+                precision):
     """Analytic backward as a per-tile reduction to a [T_pad, 9] table.
 
     The per-(triangle, corner, coord) sums accumulate per batch element
@@ -544,7 +559,7 @@ def _bwd_kernel(row_off_ref, count_ref, cand_ref, tri_ref, id_ref, b0_ref,
                 jnp.int32, (BWD_TRI_CHUNK, 1, 1), 0))
             mask = ((ids[None] == tid) & active[None]).astype(jnp.float32)
             _bwd_chunk_core(data, mask, g0, g1, g2, gb, bmat,
-                            BWD_TRI_CHUNK, n_pix, dcorner_ref, c)
+                            BWD_TRI_CHUNK, n_pix, dcorner_ref, c, precision)
             return 0
 
         jax.lax.cond(hit, process, lambda _: 0, 0)
@@ -570,7 +585,7 @@ def _scatter_corner_grads(dcorner, triangles, batch, vertex_count):
 
 def _backward_pallas(tri_data, triangles, vertex_count, ids, bc, df_dbc,
                      row_offset, image_width, image_height, full_height,
-                     interpret):
+                     interpret, dot_precision):
     """Batched backward: [B, ...] residuals -> df/d(clip vertices) [B, V, 4].
     """
     batch, n_tri_padded, _ = tri_data.shape
@@ -578,7 +593,8 @@ def _backward_pallas(tri_data, triangles, vertex_count, ids, bc, df_dbc,
             pl.cdiv(image_width, TILE_W))
     kernel = functools.partial(
         _bwd_kernel, image_width=image_width, image_height=image_height,
-        full_height=full_height, n_tri_padded=n_tri_padded)
+        full_height=full_height, n_tri_padded=n_tri_padded,
+        precision=_resolve_precision(dot_precision))
     tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
                              lambda b, i, j: (b, i, j),
                              memory_space=pltpu.VMEM)
@@ -612,16 +628,16 @@ def _backward_pallas(tri_data, triangles, vertex_count, ids, bc, df_dbc,
     return _scatter_corner_grads(dcorner, triangles, batch, vertex_count)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _pallas_core(clip_vertices, triangles, row_offset, image_width,
-                 image_height, full_height, interpret):
+                 image_height, full_height, interpret, dot_precision):
     tri_data = _pack_batched(clip_vertices, triangles, TRI_CHUNK)
     return _forward_from_packed(tri_data, row_offset, image_width,
                                 image_height, full_height, interpret)
 
 
 def _fwd(clip_vertices, triangles, row_offset, image_width, image_height,
-         full_height, interpret):
+         full_height, interpret, dot_precision):
     tri_data = _pack_batched(clip_vertices, triangles, TRI_CHUNK)
     out = _forward_from_packed(tri_data, row_offset, image_width,
                                image_height, full_height, interpret)
@@ -630,13 +646,13 @@ def _fwd(clip_vertices, triangles, row_offset, image_width, image_height,
                  clip_vertices.shape[1], ids, bc, row_offset)
 
 
-def _bwd(image_width, image_height, full_height, interpret, residuals,
-         cotangents):
+def _bwd(image_width, image_height, full_height, interpret, dot_precision,
+         residuals, cotangents):
     tri_data, triangles, vertex_count, ids, bc, row_offset = residuals
     _, df_dbc, _ = cotangents
     df_dvertices = _backward_pallas(
         tri_data, triangles, vertex_count, ids, bc, df_dbc, row_offset,
-        image_width, image_height, full_height, interpret)
+        image_width, image_height, full_height, interpret, dot_precision)
     tri_cot = np.zeros(np.shape(triangles), dtype=jax.dtypes.float0)
     row_cot = np.zeros((), dtype=jax.dtypes.float0)
     return df_dvertices, tri_cot, row_cot
@@ -657,7 +673,8 @@ def _default_interpret(interpret):
 def rasterize_barycentric_pallas_batched(clip_vertices, triangles,
                                          image_width, image_height,
                                          row_offset=None, full_height=None,
-                                         interpret=None):
+                                         interpret=None,
+                                         dot_precision="default"):
     """Differentiable tiled-Pallas hard rasterization of a mesh batch.
 
     clip_vertices is [batch, V, 4]; returns (ids [B, H, W] i32,
@@ -675,13 +692,14 @@ def rasterize_barycentric_pallas_batched(clip_vertices, triangles,
     tris = jnp.asarray(triangles, jnp.int32)
     row_off = jnp.asarray(row_offset, jnp.int32)
 
+    _resolve_precision(dot_precision)  # validate eagerly
     def one_pass(tri_slice):
         return _pallas_core(clip_vertices, tri_slice, row_off,
                             int(image_width), int(image_height),
-                            int(full_height), interp)
+                            int(full_height), interp, dot_precision)
 
     slices = _triangle_slices(tris.shape[0])
-    if len(slices) == 1:
+    if len(slices) <= 1:  # includes the zero-triangle mesh (empty slices)
         return one_pass(tris)
     ids0, bc0, z0 = one_pass(tris[slices[0][0]:slices[0][0] + slices[0][1]])
     cov0 = jnp.sum(bc0, axis=-1) > 0.5
@@ -695,7 +713,8 @@ def rasterize_barycentric_pallas_batched(clip_vertices, triangles,
 
 def rasterize_barycentric_pallas(clip_vertices, triangles, image_width,
                                  image_height, row_offset=None,
-                                 full_height=None, interpret=None):
+                                 full_height=None, interpret=None,
+                                 dot_precision="default"):
     """Single-mesh wrapper over the batched Pallas rasterizer.
 
     Same contract as rasterize_xla.rasterize_barycentric_xla (ids /
@@ -705,7 +724,8 @@ def rasterize_barycentric_pallas(clip_vertices, triangles, image_width,
     """
     ids, bc, z = rasterize_barycentric_pallas_batched(
         clip_vertices[None], triangles, image_width, image_height,
-        row_offset=row_offset, full_height=full_height, interpret=interpret)
+        row_offset=row_offset, full_height=full_height, interpret=interpret,
+        dot_precision=dot_precision)
     return ids[0], bc[0], z[0]
 
 
@@ -730,7 +750,7 @@ def _pack_corner_attributes(attributes, triangles, a_pad, n_tri_padded):
 def _kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
                   id_ref, b0_ref, b1_ref, b2_ref, *rest, image_width,
                   image_height, full_height, n_tri_padded, a_pad, chunk,
-                  with_z):
+                  with_z, precision):
     if with_z:
         z_ref, attr_ref = rest
     else:
@@ -740,13 +760,13 @@ def _kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
                        z_ref if with_z else None, attr_ref,
                        image_width=image_width, image_height=image_height,
                        full_height=full_height, n_tri_padded=n_tri_padded,
-                       a_pad=a_pad, chunk=chunk)
+                       a_pad=a_pad, chunk=chunk, precision=precision)
 
 
 def _kernel_fused_body(row_off_ref, count_ref, cand_ref, tri_ref,
                        attr_in_ref, id_ref, b0_ref, b1_ref, b2_ref, z_ref,
                        attr_ref, *, image_width, image_height, full_height,
-                       n_tri_padded, a_pad, chunk):
+                       n_tri_padded, a_pad, chunk, precision):
     """Forward tile kernel with in-tile attribute interpolation.
 
     Same binned rasterization loop as _kernel plus a flat [a_pad, P]
@@ -779,7 +799,7 @@ def _kernel_fused_body(row_off_ref, count_ref, cand_ref, tri_ref,
                 ak, wk.reshape(chunk, n_pix),
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=_DOT_PRECISION)  # [A, P]
+                precision=precision)  # [A, P]
 
         better = _merge_better(chunk_z, chunk_id, best_z, best_id)
         # Mosaic can't shape-cast i1 vectors; flatten as f32.
@@ -811,7 +831,7 @@ def _kernel_fused_body(row_off_ref, count_ref, cand_ref, tri_ref,
 
 def _forward_fused(tri_data, attr_packed, row_offset, image_width,
                    image_height, full_height, interpret, chunk,
-                   with_z=False):
+                   dot_precision, with_z=False):
     """Fused forward: -> (ids, bc, z-or-None, attrs [B, a_pad, H, W]).
 
     The z image is materialized to HBM only when `with_z` (the multi-pass
@@ -826,7 +846,8 @@ def _forward_fused(tri_data, attr_packed, row_offset, image_width,
     kernel = functools.partial(
         _kernel_fused, image_width=image_width, image_height=image_height,
         full_height=full_height, n_tri_padded=n_tri_padded, a_pad=a_pad,
-        chunk=chunk, with_z=with_z)
+        chunk=chunk, with_z=with_z,
+        precision=_resolve_precision(dot_precision))
 
     n_f32_images = 4 if with_z else 3
     out_shape = [
@@ -882,7 +903,7 @@ def _bwd_kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
                       id_ref, b0_ref, b1_ref, b2_ref, g0_ref, g1_ref, g2_ref,
                       gattr_ref, dcorner_ref, dattr_ref, *, image_width,
                       image_height, full_height, n_tri_padded, a_pad,
-                      chunk):
+                      chunk, precision):
     """Fused backward: vertex-gradient table + attribute-gradient table.
 
     Extends _bwd_kernel's analytic chain with the interpolation VJP: the
@@ -933,7 +954,7 @@ def _bwd_kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
                 proj = jax.lax.dot_general(
                     ak, gattrf, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=_BWD_DOT_PRECISION)  # [C, P]
+                    precision=precision)  # [C, P]
                 proj = proj.reshape(chunk, TILE_H, TILE_W)
                 dbc.append(jnp.sum(mask * proj, axis=0))
             g0t = g0 + dbc[0]
@@ -941,7 +962,7 @@ def _bwd_kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
             g2t = g2 + dbc[2]
             gb = g0t * b0 + g1t * b1 + g2t * b2
             _bwd_chunk_core(data, mask, g0t, g1t, g2t, gb, bmat, chunk,
-                            n_pix, dcorner_ref, c)
+                            n_pix, dcorner_ref, c, precision)
 
             # Attribute gradients: dattr_k[t, a] = sum_p mask*b_k * gattr.
             for k, bkf in enumerate((b0f, b1f, b2f)):
@@ -949,7 +970,7 @@ def _bwd_kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
                 part = jax.lax.dot_general(
                     mb, gattrf, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=_BWD_DOT_PRECISION)  # [C, A]
+                    precision=precision)  # [C, A]
                 sl = (0, pl.ds(c * chunk, chunk), pl.ds(k * a_pad, a_pad))
                 dattr_ref[sl] = dattr_ref[sl] + part
             return 0
@@ -962,7 +983,8 @@ def _bwd_kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
 
 def _backward_fused(tri_data, attr_packed, triangles, vertex_count,
                     attribute_count, ids, bc, df_dbc, df_dattr, row_offset,
-                    image_width, image_height, full_height, interpret):
+                    image_width, image_height, full_height, interpret,
+                    dot_precision):
     """-> (df/d clip_vertices [B, V, 4], df/d attributes [B, V, A])."""
     batch, n_tri_padded, _ = tri_data.shape
     a3 = attr_packed.shape[-1]
@@ -973,7 +995,8 @@ def _backward_fused(tri_data, attr_packed, triangles, vertex_count,
     kernel = functools.partial(
         _bwd_kernel_fused, image_width=image_width,
         image_height=image_height, full_height=full_height,
-        n_tri_padded=n_tri_padded, a_pad=a_pad, chunk=chunk)
+        n_tri_padded=n_tri_padded, a_pad=a_pad, chunk=chunk,
+        precision=_resolve_precision(dot_precision))
     tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
                              lambda b, i, j: (b, i, j),
                              memory_space=pltpu.VMEM)
@@ -1037,18 +1060,19 @@ def _backward_fused(tri_data, attr_packed, triangles, vertex_count,
     return df_dvertices, df_dattributes
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _pallas_interp_core(clip_vertices, attributes, triangles, row_offset,
                         image_width, image_height, full_height, interpret,
-                        with_z):
+                        with_z, dot_precision):
     out, _ = _interp_fwd(clip_vertices, attributes, triangles, row_offset,
                          image_width, image_height, full_height, interpret,
-                         with_z)
+                         with_z, dot_precision)
     return out
 
 
 def _interp_fwd(clip_vertices, attributes, triangles, row_offset,
-                image_width, image_height, full_height, interpret, with_z):
+                image_width, image_height, full_height, interpret, with_z,
+                dot_precision):
     chunk = _fused_chunk_for(np.shape(triangles)[0])
     tri_data = _pack_batched(clip_vertices, triangles, chunk)
     a = attributes.shape[-1]
@@ -1057,7 +1081,7 @@ def _interp_fwd(clip_vertices, attributes, triangles, row_offset,
                                           tri_data.shape[1])
     ids, bc, z, attrs = _forward_fused(
         tri_data, attr_packed, row_offset, image_width, image_height,
-        full_height, interpret, chunk, with_z=with_z)
+        full_height, interpret, chunk, dot_precision, with_z=with_z)
     attr_images = jnp.moveaxis(attrs, 1, -1)[..., :a]  # [B, H, W, A]
     out = (ids, bc, attr_images) + ((z,) if with_z else ())
     residuals = (jax.lax.stop_gradient(tri_data),
@@ -1067,7 +1091,7 @@ def _interp_fwd(clip_vertices, attributes, triangles, row_offset,
 
 
 def _interp_bwd(image_width, image_height, full_height, interpret, with_z,
-                residuals, cotangents):
+                dot_precision, residuals, cotangents):
     (tri_data, attr_packed, triangles, vertex_count, attribute_count, ids,
      bc, row_offset) = residuals
     # Any z cotangent is discarded: the kernel produces no vertex-z gradient
@@ -1077,7 +1101,7 @@ def _interp_bwd(image_width, image_height, full_height, interpret, with_z,
     df_dvertices, df_dattributes = _backward_fused(
         tri_data, attr_packed, triangles, vertex_count, attribute_count,
         ids, bc, df_dbc, df_dattr, row_offset, image_width, image_height,
-        full_height, interpret)
+        full_height, interpret, dot_precision)
     tri_cot = np.zeros(np.shape(triangles), dtype=jax.dtypes.float0)
     row_cot = np.zeros((), dtype=jax.dtypes.float0)
     return df_dvertices, df_dattributes, tri_cot, row_cot
@@ -1089,7 +1113,8 @@ _pallas_interp_core.defvjp(_interp_fwd, _interp_bwd)
 def rasterize_interpolate_pallas_batched(clip_vertices, attributes,
                                          triangles, image_width,
                                          image_height, row_offset=None,
-                                         full_height=None, interpret=None):
+                                         full_height=None, interpret=None,
+                                         dot_precision="default"):
     """Fused differentiable rasterization + attribute interpolation.
 
     Args:
@@ -1117,12 +1142,15 @@ def rasterize_interpolate_pallas_batched(clip_vertices, attributes,
     slices = _triangle_slices(tris.shape[0])
     with_z = len(slices) > 1  # only the multi-pass merge consumes z
 
+    _resolve_precision(dot_precision)  # validate eagerly
+
     def one_pass(tri_slice):
         return _pallas_interp_core(
             clip_vertices, attrs_f, tri_slice, row_off, int(image_width),
-            int(image_height), int(full_height), interp, with_z)
+            int(image_height), int(full_height), interp, with_z,
+            dot_precision)
 
-    if len(slices) == 1:
+    if len(slices) <= 1:  # includes the zero-triangle mesh (empty slices)
         return one_pass(tris)
     # Multi-pass: render <= MAX_PALLAS_TRIANGLES triangles per pass and
     # depth-merge; gradients flow through each pass's analytic custom_vjp

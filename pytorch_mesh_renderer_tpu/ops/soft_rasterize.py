@@ -133,7 +133,7 @@ def rasterize_batch(clip_space_vertices, triangles, world_space_vertices,
             normals, diffuse_colors, light_positions, light_intensities,
             image_width, image_height, sigma_val, gamma_val,
             blur_radius=blur_radius, row_offset=row_offset,
-            full_height=full_height)
+            full_height=full_height, dot_precision=cfg.dot_precision)
     tris = jnp.asarray(triangles, jnp.int32)
     tri_count = tris.shape[0]
     sq_blur = blur_radius ** 2
@@ -368,7 +368,7 @@ def rasterize_clip_space_batch(clip_space_vertices, triangles,
             normals, diffuse_colors, light_positions, light_intensities,
             image_width, image_height, sigma_val, gamma_val,
             blur_radius=blur_radius, row_offset=row_offset,
-            full_height=full_height)
+            full_height=full_height, dot_precision=cfg.dot_precision)
 
     def one(clip_v, world_v, norms, colors, lights, intensities):
         return rasterize_batch(

@@ -69,10 +69,13 @@ _NEG_BIG = -1e30
 # v5e has far more physical VMEM.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
-# Hard cap on triangle count for the compiled soft kernels — the [T, 53]
-# table and its [T, 53] gradient accumulator are VMEM-resident per batch
-# element (lane-padded to 128: ~512 B/tri each). Larger meshes fail loudly
-# with a pointer at the streaming XLA backend.
+# Per-pass cap on the triangle count for the compiled soft kernels — the
+# [T, 53] table and its [T, 53] gradient accumulator are VMEM-resident per
+# batch element (lane-padded to 128: ~512 B/tri each). Meshes beyond the cap
+# render in MULTIPLE PASSES whose raw (rgba, m, sumw) outputs are merged
+# with the exact online-softmax state merge (see
+# soft_rasterize_pallas_batched), so the triangle dimension scales to HBM
+# capacity instead of VMEM — same scheme as the hard module.
 MAX_PALLAS_TRIANGLES = 49152
 
 
@@ -133,9 +136,11 @@ def _pack_triangle_data(clip_space_vertices, triangles, world_space_vertices,
     ], axis=-1)
 
     t = data.shape[0]
-    pad = (-t) % TRI_CHUNK
+    # Zero-triangle meshes still pad to one full (all-dead) chunk so the
+    # kernels always see a non-empty table; every padded row has keep=0.
+    pad = TRI_CHUNK if t == 0 else (-t) % TRI_CHUNK
     if pad:
-        data = jnp.pad(data, [(0, pad), (0, 0)])  # keep=0 on padding
+        data = jnp.pad(data, [(0, pad), (0, 0)])
     return data
 
 
@@ -346,7 +351,7 @@ def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
                 max_ref, sumw_ref, sil_ref, rgb0_ref, rgb1_ref, rgb2_ref,
                 dr_ref, dg_ref, db_ref, da_ref, dsw_ref, ddata_ref,
                 dlights_ref, dparams_ref, *, image_width, image_height,
-                full_height, n_tri_padded, n_lights):
+                full_height, n_tri_padded, n_lights, precision):
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     sigma = params_ref[0]
@@ -417,7 +422,8 @@ def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
         red = jax.lax.dot_general(
             val.reshape(TRI_CHUNK, n_pix), ones_pix,
             (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [C, 1]
+            preferred_element_type=jnp.float32,
+            precision=precision)  # [C, 1]
         sl = (0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), pl.ds(colidx, 1))
         ddata_ref[sl] = ddata_ref[sl] + red
 
@@ -573,7 +579,8 @@ def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
                 g = (dcb * ins).reshape(TRI_CHUNK, n_pix)
                 red = jax.lax.dot_general(
                     g, pxy1, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [C, 3]
+                    preferred_element_type=jnp.float32,
+                    precision=precision)  # [C, 3]
                 sl = (0, pl.ds(c * TRI_CHUNK, TRI_CHUNK),
                       pl.ds(3 * i, 3))
                 ddata_ref[sl] = ddata_ref[sl] + red
@@ -670,7 +677,7 @@ def _run_forward(tri_data, lights, params, row_offset, image_width,
 
 def _run_backward(tri_data, lights, params, row_offset, run_max, sum_w, sil,
                   rgb, cotangent, d_sumw, image_width, image_height,
-                  full_height, n_lights, interpret):
+                  full_height, n_lights, interpret, dot_precision):
     """Batched backward: [B, ...] residuals -> (ddata [B, T, 53],
     dlights [B, L, 4])."""
     batch, n_tri_padded, _ = tri_data.shape
@@ -679,7 +686,8 @@ def _run_backward(tri_data, lights, params, row_offset, run_max, sum_w, sil,
     kernel = functools.partial(
         _bwd_kernel, image_width=image_width, image_height=image_height,
         full_height=full_height, n_tri_padded=n_tri_padded,
-        n_lights=n_lights)
+        n_lights=n_lights,
+        precision=hard_pallas._resolve_precision(dot_precision))
     tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
                              lambda b, i, j: (b, i, j),
                              memory_space=pltpu.VMEM)
@@ -738,23 +746,26 @@ _pack_batched = jax.vmap(_pack_triangle_data,
                          in_axes=(0, None, 0, 0, 0, None))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(10, 11, 12, 13, 14, 15, 16))
 def _soft_pallas_core(clip_space_vertices, triangles, world_space_vertices,
                       normals, diffuse_colors, light_positions,
                       light_intensities, row_offset, sigma_val, gamma_val,
                       image_width, image_height, blur_radius,
-                      full_height, interpret, raw=False):
+                      full_height, interpret, raw=False,
+                      dot_precision="default"):
     out, _ = _fwd(clip_space_vertices, triangles, world_space_vertices,
                   normals, diffuse_colors, light_positions,
                   light_intensities, row_offset, sigma_val, gamma_val,
                   image_width, image_height, blur_radius, full_height,
-                  interpret, raw)
+                  interpret, raw, dot_precision)
     return out
 
 
 def _fwd(clip_v, triangles, world_v, normals, colors, lights, intensities,
          row_offset, sigma_val, gamma_val, image_width, image_height,
-         blur_radius, full_height, interpret, raw=False):
+         blur_radius, full_height, interpret, raw=False,
+         dot_precision="default"):
     tri_data = _pack_batched(clip_v, triangles, world_v, normals, colors,
                              blur_radius)
     lights_packed = jnp.concatenate(
@@ -778,7 +789,7 @@ def _fwd(clip_v, triangles, world_v, normals, colors, lights, intensities,
 
 
 def _bwd(image_width, image_height, blur_radius, full_height, interpret,
-         raw, residuals, cotangent):
+         raw, dot_precision, residuals, cotangent):
     (triangles, tri_data, lights_packed, params, run_max, sum_w, rgb, alpha,
      clip_v, world_v, normals, colors) = residuals
     if raw:
@@ -788,7 +799,7 @@ def _bwd(image_width, image_height, blur_radius, full_height, interpret,
     ddata, dlights_packed, dparams = _run_backward(
         tri_data, lights_packed, params, params[3], run_max, sum_w,
         1.0 - alpha, rgb, cotangent, d_sumw, image_width, image_height,
-        full_height, lights_packed.shape[-2], interpret)
+        full_height, lights_packed.shape[-2], interpret, dot_precision)
     # Transpose the (cheap) packing to reach clip vertices and attributes.
     _, pack_vjp = jax.vjp(
         lambda cv, wv, nn, cc: _pack_batched(
@@ -825,7 +836,8 @@ def soft_rasterize_pallas_batched(clip_space_vertices, triangles,
                                   light_intensities, image_width,
                                   image_height, sigma_val, gamma_val,
                                   blur_radius=0.01, row_offset=None,
-                                  full_height=None, interpret=None):
+                                  full_height=None, interpret=None,
+                                  dot_precision="default"):
     """Soft-rasterize a mesh batch with the tiled Pallas fwd+bwd kernels.
 
     All scene inputs carry a leading batch dimension (clip [B, V, 4], world
@@ -852,12 +864,15 @@ def soft_rasterize_pallas_batched(clip_space_vertices, triangles,
     sigma = jnp.asarray(sigma_val, jnp.float32)
     gamma = jnp.asarray(gamma_val, jnp.float32)
 
+    hard_pallas._resolve_precision(dot_precision)  # validate eagerly
+
     def one_pass(tri_slice, raw):
         return _soft_pallas_core(
             clip_space_vertices, tri_slice, world_space_vertices, normals,
             diffuse_colors, light_positions, light_intensities, row_off,
             sigma, gamma, int(image_width), int(image_height),
-            float(blur_radius), int(full_height), interpret, raw)
+            float(blur_radius), int(full_height), interpret, raw,
+            dot_precision)
 
     n_tri = tris.shape[0]
     if n_tri <= MAX_PALLAS_TRIANGLES:
@@ -902,7 +917,8 @@ def rasterize_batch_pallas(clip_space_vertices, triangles,
                            light_positions, light_intensities, image_width,
                            image_height, sigma_val, gamma_val,
                            blur_radius=0.01, row_offset=None,
-                           full_height=None, interpret=None):
+                           full_height=None, interpret=None,
+                           dot_precision="default"):
     """Single-mesh wrapper over the batched Pallas soft rasterizer.
 
     Contract identical to soft_rasterize.rasterize_batch.
@@ -912,5 +928,6 @@ def rasterize_batch_pallas(clip_space_vertices, triangles,
         normals[None], diffuse_colors[None], light_positions[None],
         light_intensities[None], image_width, image_height, sigma_val,
         gamma_val, blur_radius=blur_radius, row_offset=row_offset,
-        full_height=full_height, interpret=interpret)
+        full_height=full_height, interpret=interpret,
+        dot_precision=dot_precision)
     return out[0]

@@ -210,3 +210,35 @@ def test_soft_dispatch_traced_blur_warns_and_falls_back():
         clip, tris, world, normals, colors, lights, intens, SIZE, SIZE,
         SIGMA, GAMMA, blur_radius=BLUR))
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+
+def test_soft_zero_triangle_mesh_is_background():
+    """An empty mesh must not crash the soft Pallas wrapper (ADVICE r2 #1)."""
+    args, _ = _scene()
+    empty = np.zeros([0, 3], np.int32)
+    out = np.asarray(_pallas(empty, *args))
+    np.testing.assert_array_equal(out[..., 3], 0.0)
+    assert np.all(np.isfinite(out))
+
+
+def test_soft_dot_precision_highest_matches_xla_ad():
+    """SoftRasterizerConfig dot_precision='highest' keeps backward parity."""
+    args, tris = _scene()
+    clip, world, normals, colors, lights, intens = args
+
+    def loss_pallas(c):
+        out = rasterize_batch_pallas(c, tris, world, normals, colors,
+                                     lights, intens, SIZE, SIZE, SIGMA,
+                                     GAMMA, BLUR, dot_precision="highest")
+        return jnp.sum(out)
+
+    def loss_xla(c):
+        out = soft_xla.rasterize_batch(c, tris, world, normals, colors,
+                                       lights, intens, SIZE, SIZE, SIGMA,
+                                       GAMMA, blur_radius=BLUR)
+        return jnp.sum(out)
+
+    g_p = np.asarray(jax.grad(loss_pallas)(clip))
+    g_x = np.asarray(jax.grad(loss_xla)(clip))
+    scale = np.abs(g_x).max() + 1e-6
+    np.testing.assert_allclose(g_p / scale, g_x / scale, atol=2e-4)

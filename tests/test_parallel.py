@@ -205,3 +205,80 @@ def test_sharded_rasterize_multi_pass_large_mesh(monkeypatch):
                                                            cams)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host readiness (unit-level: explicit/synthetic device lists)
+# ---------------------------------------------------------------------------
+
+class _FakeDevice:
+    """Stand-in with the attributes order_devices_for_dcn consumes."""
+
+    def __init__(self, process_index, dev_id):
+        self.process_index = process_index
+        self.id = dev_id
+
+    def __repr__(self):
+        return f"d{self.process_index}:{self.id}"
+
+
+def test_multihost_device_order_keeps_space_intra_host():
+    # 2 hosts x 4 devices, interleaved and shuffled on input.
+    devs = [_FakeDevice(p, i) for p in (1, 0) for i in (3, 1, 2, 0)]
+    ordered = parallel.order_devices_for_dcn(devs, space=2)
+    assert [(d.process_index, d.id) for d in ordered] == [
+        (0, 0), (0, 1), (0, 2), (0, 3), (1, 0), (1, 1), (1, 2), (1, 3)]
+    # Row-major (data, space) fill: every space pair shares a host.
+    grid = np.asarray(ordered, dtype=object).reshape(4, 2)
+    for row in grid:
+        assert len({d.process_index for d in row}) == 1
+
+
+def test_multihost_device_order_rejects_dcn_spanning_space():
+    devs = [_FakeDevice(0, 0), _FakeDevice(0, 1), _FakeDevice(0, 2),
+            _FakeDevice(1, 0), _FakeDevice(1, 1), _FakeDevice(1, 2)]
+    with pytest.raises(ValueError, match="space group would span DCN"):
+        parallel.order_devices_for_dcn(devs, space=4)
+
+
+def test_multihost_mesh_from_explicit_subset():
+    # All virtual CPU devices share process 0, so any subset is one "host";
+    # the mesh must still build over an explicit device subset.
+    devs = jax.devices()[:4]
+    mesh = parallel.make_multihost_mesh(space=2, devices=devs)
+    assert mesh.shape == {"data": 2, "space": 2}
+    assert list(mesh.axis_names) == ["data", "space"]
+    # And rendering over it matches the default-mesh result.
+    assert set(np.asarray(mesh.devices).ravel()) == set(devs)
+
+
+def test_init_distributed_single_process_subprocess():
+    """init_distributed must run before any jax computation, so exercise it
+    in a fresh process: single-process initialize, idempotent second call,
+    then a multihost mesh over the (global == local) device list."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    code = (
+        "from pytorch_mesh_renderer_tpu import parallel\n"
+        "parallel.init_distributed(coordinator_address='localhost:12321',"
+        " num_processes=1, process_id=0)\n"
+        "parallel.init_distributed(coordinator_address='localhost:12321',"
+        " num_processes=1, process_id=0)\n"  # idempotent
+        "import jax\n"
+        "assert jax.process_count() == 1, jax.process_count()\n"
+        "n = len(jax.devices())\n"
+        "mesh = parallel.make_multihost_mesh(space=1)\n"
+        "assert mesh.shape == {'data': n, 'space': 1}, mesh.shape\n"
+        "print('DIST_OK')\n")
+    result = subprocess.run(
+        [sys.executable, "-c", code], cwd=repo, env=env,
+        capture_output=True, text=True, timeout=300)
+    assert result.returncode == 0, (
+        f"stdout:\n{result.stdout}\nstderr:\n{result.stderr}")
+    assert "DIST_OK" in result.stdout

@@ -1,0 +1,149 @@
+"""Step-time breakdown of the headline hard-renderer benchmark.
+
+VERDICT r2 weak #1: the chip idles at the headline config (~1.7% bf16 peak)
+and nobody knows where the 1.75 ms/render goes. Rather than eyeballing an
+XProf trace (no trace viewer in this environment), this script times
+compiled ablations of the exact headline step so each pipeline stage's
+share is measured directly:
+
+  full          value_and_grad(loss(render))          — the benchmark step
+  fwd           render only (jit)
+  pallas_fwd    pack + bin + fused forward pallas_call
+  prepass       pack + bin only (the XLA prepass incl. the argsort)
+  pack          triangle pack only
+  bin_nosort    binning hit-matrix + counts only (no argsort)
+  camera        camera transforms + clip projection only
+  noop          jitted identity on the step inputs (dispatch floor)
+
+Usage: python scripts/profile_breakdown.py [--batch 4] [--size 256]
+       [--iters 50]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def time_fn(fn, *args, iters=50):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--size", type=int, default=256)
+    parser.add_argument("--iters", type=int, default=50)
+    parser.add_argument("--sphere-resolution", type=int, default=None)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from pytorch_mesh_renderer_tpu.models import mesh_renderer
+    from pytorch_mesh_renderer_tpu.ops import camera
+    from pytorch_mesh_renderer_tpu.ops import rasterize_pallas as rp
+
+    size = args.size
+    scene = bench.build_scene(args.batch, size, args.sphere_resolution)
+    triangles = scene["triangles"]
+    chunk = rp._fused_chunk_for(triangles.shape[0])
+
+    def loss_fn(vertices):
+        images = mesh_renderer.render(
+            vertices, triangles, scene["normals"], scene["diffuse"],
+            scene["eye"], scene["center"], scene["up"], scene["lights"],
+            scene["intensities"], size, size)
+        return jnp.mean(images[..., :3] ** 2)
+
+    def fwd_fn(vertices):
+        images = mesh_renderer.render(
+            vertices, triangles, scene["normals"], scene["diffuse"],
+            scene["eye"], scene["center"], scene["up"], scene["lights"],
+            scene["intensities"], size, size)
+        return images
+
+    def clip_of(vertices):
+        batch = vertices.shape[0]
+        cams = camera.clip_space_transforms(
+            scene["eye"], scene["center"], scene["up"],
+            jnp.full([batch], 40.0), jnp.full([batch], 0.01),
+            jnp.full([batch], 10.0), size, size)
+        return camera.transform_homogeneous(cams, vertices)
+
+    def pack_fn(vertices):
+        return rp._pack_batched(clip_of(vertices), triangles, chunk)
+
+    def prepass_fn(vertices):
+        tri_data = rp._pack_batched(clip_of(vertices), triangles, chunk)
+        return rp._bin_chunks(tri_data, chunk, size, size, 0, size)
+
+    def bin_nosort_fn(vertices):
+        # _bin_chunks minus the argsort: hit matrix + counts only.
+        tri_data = rp._pack_batched(clip_of(vertices), triangles, chunk)
+        batch, t_pad, _ = tri_data.shape
+        n_chunks = t_pad // chunk
+        per_tri = tri_data[:, :, 15:20].reshape(batch, n_chunks, chunk, 5)
+        live = per_tri[..., 0] > 0.0
+        inf = jnp.float32(np.inf)
+        cmin_x = jnp.min(jnp.where(live, per_tri[..., 1], inf), axis=2)
+        cmax_x = jnp.max(jnp.where(live, per_tri[..., 2], -inf), axis=2)
+        cmin_y = jnp.min(jnp.where(live, per_tri[..., 3], inf), axis=2)
+        cmax_y = jnp.max(jnp.where(live, per_tri[..., 4], -inf), axis=2)
+        n_rows = -(-size // rp.TILE_H)
+        n_cols = -(-size // rp.TILE_W)
+        ti = jnp.arange(n_rows, dtype=jnp.float32)
+        tj = jnp.arange(n_cols, dtype=jnp.float32)
+        tmin_y = ti * rp.TILE_H * (2.0 / size) - 1.0
+        tmax_y = (ti + 1) * rp.TILE_H * (2.0 / size) - 1.0
+        tmin_x = tj * rp.TILE_W * (2.0 / size) - 1.0
+        tmax_x = (tj + 1) * rp.TILE_W * (2.0 / size) - 1.0
+        hit = ((cmin_x[:, None, None, :] <= tmax_x[None, None, :, None]) &
+               (cmax_x[:, None, None, :] >= tmin_x[None, None, :, None]) &
+               (cmin_y[:, None, None, :] <= tmax_y[None, :, None, None]) &
+               (cmax_y[:, None, None, :] >= tmin_y[None, :, None, None]))
+        return jnp.sum(hit, axis=-1, dtype=jnp.int32)
+
+    def pallas_fwd_fn(vertices):
+        clip = clip_of(vertices)
+        attrs = jnp.concatenate(
+            [scene["normals"], vertices, scene["diffuse"]], axis=2)
+        return rp.rasterize_interpolate_pallas_batched(
+            clip, attrs, triangles, size, size)
+
+    stages = {
+        "full": jax.jit(jax.value_and_grad(loss_fn)),
+        "fwd": jax.jit(fwd_fn),
+        "pallas_fwd": jax.jit(pallas_fwd_fn),
+        "prepass": jax.jit(prepass_fn),
+        "pack": jax.jit(pack_fn),
+        "bin_nosort": jax.jit(bin_nosort_fn),
+        "camera": jax.jit(clip_of),
+        "noop": jax.jit(lambda v: v + 1.0),
+    }
+    results = {}
+    for name, fn in stages.items():
+        dt = time_fn(fn, scene["vertices"], iters=args.iters)
+        results[name] = round(dt * 1e3, 4)
+        print(f"{name:12s} {dt * 1e3:8.3f} ms", flush=True)
+    results["batch"] = args.batch
+    results["size"] = size
+    results["tri_count"] = int(triangles.shape[0])
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

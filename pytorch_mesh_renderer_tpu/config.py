@@ -27,10 +27,17 @@ class HardRasterizerConfig:
         'highest' (bf16x6 — exact f32 parity with the XLA spec at ~29%
         end-to-end cost). Affects only the Pallas backend's in-kernel
         matmuls; see rasterize_pallas.DOT_PRECISIONS.
+      spatial_sort: process triangles in screen-space order inside the
+        fused Pallas kernel so the binning prepass culls tighter (-31%
+        binned pairs on the 256^2 teapot). Values are unchanged (pure
+        selection); only bit-exact z ties between coplanar triangles may
+        resolve differently. Disable for strict later-id tie
+        reproduction.
     """
     backend: str = "auto"
     triangle_chunk: int = 64
     dot_precision: str = "default"
+    spatial_sort: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -114,7 +114,8 @@ def rasterize_clip_space(clip_space_vertices, attributes, triangles,
                 clip_space_vertices, jnp.asarray(attributes, jnp.float32),
                 tris, image_width, image_height,
                 row_offset=row_offset, full_height=full_height,
-                dot_precision=cfg.dot_precision))
+                dot_precision=cfg.dot_precision,
+                spatial_sort=cfg.spatial_sort))
     else:
         def kernel(verts):
             return rasterize_barycentric(

@@ -108,9 +108,14 @@ def _forward(clip_vertices, triangles, row_offset, image_width, image_height,
         sum_e = e0 + e1 + e2
         safe_sum = jnp.where(sum_e != 0.0, sum_e, 1.0)
         bc = e / safe_sum[..., None]  # perspective-correct barycentrics
-        clip_z = jnp.sum(bc * vz_c[None, None], axis=-1)
-        clip_w = jnp.sum(bc * vw_c[None, None], axis=-1)
-        z = clip_z / jnp.where(clip_w != 0.0, clip_w, 1.0)
+        # z from the RAW edge functions (the shared normalization cancels);
+        # op order matches rasterize_pallas._rasterize_chunk_core so the
+        # backends' z (and thus tie-breaking) stay bit-comparable.
+        num = e0 * vz_c[None, None, :, 0] + e1 * vz_c[None, None, :, 1] \
+            + e2 * vz_c[None, None, :, 2]
+        den = e0 * vw_c[None, None, :, 0] + e1 * vw_c[None, None, :, 1] \
+            + e2 * vw_c[None, None, :, 2]
+        z = num / jnp.where(den != 0.0, den, 1.0)
         valid = inside & live_c[None, None] & (z >= -1.0) & (z <= 1.0)
 
         z_masked = jnp.where(valid, z, jnp.inf)

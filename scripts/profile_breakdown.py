@@ -15,8 +15,11 @@ share is measured directly:
   camera        camera transforms + clip projection only
   noop          jitted identity on the step inputs (dispatch floor)
 
+With --soft, the soft-renderer analogues (full / fwd / pallas_fwd /
+prepass / pack / camera / noop) are timed instead.
+
 Usage: python scripts/profile_breakdown.py [--batch 4] [--size 256]
-       [--iters 50]
+       [--iters 50] [--soft]
 """
 
 import argparse
@@ -41,12 +44,71 @@ def time_fn(fn, *args, iters=50):
     return (time.perf_counter() - t0) / iters
 
 
+def soft_stages(scene, size, args):
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_mesh_renderer_tpu.models import soft_mesh_renderer
+    from pytorch_mesh_renderer_tpu.ops import camera
+    from pytorch_mesh_renderer_tpu.ops import mesh as mesh_ops
+    from pytorch_mesh_renderer_tpu.ops import soft_rasterize_pallas as sp
+
+    triangles = scene["triangles"][:, ::-1].copy()  # CCW
+
+    def loss_fn(vertices):
+        images = soft_mesh_renderer.render(
+            vertices, triangles, scene["diffuse"], scene["eye"],
+            scene["center"], scene["up"], scene["lights"][..., :3],
+            scene["intensities"][..., 0], size, size)
+        return jnp.mean(images[..., 3] ** 2)
+
+    def fwd_fn(vertices):
+        return soft_mesh_renderer.render(
+            vertices, triangles, scene["diffuse"], scene["eye"],
+            scene["center"], scene["up"], scene["lights"][..., :3],
+            scene["intensities"][..., 0], size, size)
+
+    def clip_of(vertices):
+        batch = vertices.shape[0]
+        cams = camera.clip_space_transforms(
+            scene["eye"], scene["center"], scene["up"],
+            jnp.full([batch], 40.0), jnp.full([batch], 0.01),
+            jnp.full([batch], 10.0), size, size)
+        return camera.transform_homogeneous(cams, vertices)
+
+    def pack_fn(vertices):
+        normals = mesh_ops.compute_vertex_normals(vertices, triangles)
+        return sp._pack_batched(clip_of(vertices), triangles, vertices,
+                                normals, scene["diffuse"], 0.01)
+
+    def prepass_fn(vertices):
+        return sp._bin_chunks(pack_fn(vertices), size, size, 0, size)
+
+    def pallas_fwd_fn(vertices):
+        normals = mesh_ops.compute_vertex_normals(vertices, triangles)
+        return sp.soft_rasterize_pallas_batched(
+            clip_of(vertices), triangles, vertices, normals,
+            scene["diffuse"], scene["lights"][..., :3],
+            scene["intensities"][..., 0], size, size, 1e-5, 1e-4)
+
+    return {
+        "full": jax.jit(jax.value_and_grad(loss_fn)),
+        "fwd": jax.jit(fwd_fn),
+        "pallas_fwd": jax.jit(pallas_fwd_fn),
+        "prepass": jax.jit(prepass_fn),
+        "pack": jax.jit(pack_fn),
+        "camera": jax.jit(clip_of),
+        "noop": jax.jit(lambda v: v + 1.0),
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--sphere-resolution", type=int, default=None)
+    parser.add_argument("--soft", action="store_true")
     args = parser.parse_args()
 
     import jax
@@ -61,6 +123,18 @@ def main():
     scene = bench.build_scene(args.batch, size, args.sphere_resolution)
     triangles = scene["triangles"]
     chunk = rp._fused_chunk_for(triangles.shape[0])
+
+    if args.soft:
+        stages = soft_stages(scene, size, args)
+        results = {}
+        for name, fn in stages.items():
+            dt = time_fn(fn, scene["vertices"], iters=args.iters)
+            results[name] = round(dt * 1e3, 4)
+            print(f"{name:12s} {dt * 1e3:8.3f} ms", flush=True)
+        results.update(batch=args.batch, size=size, soft=True,
+                       tri_count=int(triangles.shape[0]))
+        print(json.dumps(results))
+        return
 
     def loss_fn(vertices):
         images = mesh_renderer.render(

@@ -354,3 +354,41 @@ def test_dot_precision_validation():
     with pytest.raises(ValueError, match="dot_precision"):
         rasterize_interpolate_pallas_batched(
             verts, attrs, tris, width, height, dot_precision="high")
+
+
+def test_spatial_sort_matches_unsorted():
+    """The screen-space triangle sort must not change rendered values.
+
+    Hard rasterization is a pure z-arg-min selection, so reordering
+    triangles changes outputs only at bit-exact z ties; on these scenes the
+    sorted and unsorted fused paths must agree to float noise, and the ids
+    output must index the caller's triangle array in both cases.
+    """
+    from pytorch_mesh_renderer_tpu.ops.rasterize_pallas import (
+        rasterize_interpolate_pallas_batched)
+
+    width, height = 48, 40
+    verts, tris, attrs, cam, bg = _random_scene(width=width, height=height)
+    clip = camera.transform_homogeneous(cam, verts)
+    ids_u, bc_u, ai_u = rasterize_interpolate_pallas_batched(
+        clip, attrs, tris, width, height, spatial_sort=False)
+    ids_s, bc_s, ai_s = rasterize_interpolate_pallas_batched(
+        clip, attrs, tris, width, height, spatial_sort=True)
+    np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_u))
+    np.testing.assert_allclose(np.asarray(bc_s), np.asarray(bc_u),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ai_s), np.asarray(ai_u),
+                               atol=1e-5)
+
+    def loss(v, a, sort):
+        _, bc, ai = rasterize_interpolate_pallas_batched(
+            camera.transform_homogeneous(cam, v), a, tris, width, height,
+            spatial_sort=sort)
+        return jnp.sum(jnp.sin(ai)) + jnp.sum(bc * 0.3)
+
+    g_u = jax.grad(loss, argnums=(0, 1))(verts, attrs, False)
+    g_s = jax.grad(loss, argnums=(0, 1))(verts, attrs, True)
+    for got, want in zip(g_s, g_u):
+        scale = float(jnp.max(jnp.abs(want))) + 1e-6
+        np.testing.assert_allclose(np.asarray(got) / scale,
+                                   np.asarray(want) / scale, atol=1e-5)

@@ -27,12 +27,13 @@ class HardRasterizerConfig:
         'highest' (bf16x6 — exact f32 parity with the XLA spec at ~29%
         end-to-end cost). Affects only the Pallas backend's in-kernel
         matmuls; see rasterize_pallas.DOT_PRECISIONS.
-      spatial_sort: process triangles in screen-space order inside the
-        fused Pallas kernel so the binning prepass culls tighter (-31%
-        binned pairs on the 256^2 teapot). Values are unchanged (pure
-        selection); only bit-exact z ties between coplanar triangles may
-        resolve differently. Disable for strict later-id tie
-        reproduction.
+      spatial_sort: let the fused Pallas kernel re-bin triangles in a
+        batch-shared screen-space order when that culls tighter than the
+        caller's order (decided per call under jit; +14% on the 256^2
+        teapot headline, no-op on meshes whose native order already bins
+        well). Values are unchanged (pure selection); only bit-exact z
+        ties between coplanar triangles may resolve differently. Disable
+        for strict later-id tie reproduction.
     """
     backend: str = "auto"
     triangle_chunk: int = 64

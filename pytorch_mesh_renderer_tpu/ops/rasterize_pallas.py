@@ -125,6 +125,28 @@ def _resolve_precision(name):
 _COLS = 21
 
 
+def _bbox_live_cols(x, y, vw):
+    """Per-triangle cull columns [..., T, 5]: (live, min_x, max_x, min_y,
+    max_y).
+
+    live = 0 when all corner w < 0 (cull, cpp:338-341). Conservative NDC
+    bbox: vertices with w <= eps make the triangle's screen extent
+    unbounded -> full-screen bbox.
+    """
+    live = (~jnp.all(vw < 0.0, axis=-1)).astype(jnp.float32)
+    eps = 1e-6
+    safe_w = jnp.where(jnp.abs(vw) > eps, vw, eps)
+    ndc_x = x / safe_w
+    ndc_y = y / safe_w
+    unbounded = jnp.any(vw <= eps, axis=-1)
+    big = 4.0
+    min_x = jnp.where(unbounded, -big, jnp.min(ndc_x, axis=-1))
+    max_x = jnp.where(unbounded, big, jnp.max(ndc_x, axis=-1))
+    min_y = jnp.where(unbounded, -big, jnp.min(ndc_y, axis=-1))
+    max_y = jnp.where(unbounded, big, jnp.max(ndc_y, axis=-1))
+    return jnp.stack([live, min_x, max_x, min_y, max_y], axis=-1)
+
+
 def _pack_triangle_data(clip_vertices, triangles, chunk):
     """Precomputes per-triangle rasterization data as one [T_pad, 21] array.
 
@@ -139,28 +161,13 @@ def _pack_triangle_data(clip_vertices, triangles, chunk):
     x, y = tv[..., 0], tv[..., 1]
     vz, vw = tv[..., 2], tv[..., 3]
     m_inv, det = unnormalized_matrix_inverse(x, y, vw)  # [T, 3, 3]
-    live = (~jnp.all(vw < 0.0, axis=-1)).astype(jnp.float32)
     abs_det = jnp.abs(det)
     inv_abs_det = jnp.where(abs_det > 0.0, 1.0 / jnp.maximum(abs_det, 1e-30),
                             0.0)
-
-    # Conservative NDC bbox: vertices with w <= eps make the triangle's
-    # screen extent unbounded -> full-screen bbox.
-    eps = 1e-6
-    safe_w = jnp.where(jnp.abs(vw) > eps, vw, eps)
-    ndc_x = x / safe_w
-    ndc_y = y / safe_w
-    unbounded = jnp.any(vw <= eps, axis=-1)
-    big = 4.0
-    min_x = jnp.where(unbounded, -big, jnp.min(ndc_x, axis=-1))
-    max_x = jnp.where(unbounded, big, jnp.max(ndc_x, axis=-1))
-    min_y = jnp.where(unbounded, -big, jnp.min(ndc_y, axis=-1))
-    max_y = jnp.where(unbounded, big, jnp.max(ndc_y, axis=-1))
+    bbox5 = _bbox_live_cols(x, y, vw)
 
     data = jnp.concatenate([
-        m_inv.reshape(-1, 9), vz, vw, live[:, None],
-        jnp.stack([min_x, max_x, min_y, max_y], axis=-1),
-        inv_abs_det[:, None],
+        m_inv.reshape(-1, 9), vz, vw, bbox5, inv_abs_det[:, None],
     ], axis=-1)  # [T, 21]
 
     t = data.shape[0]
@@ -210,14 +217,30 @@ def _bin_chunks(tri_data, chunk, image_width, image_height, row_offset,
       candidates [B, R, C, n_chunks] i32, counts [B, R, C, 1] i32 — with
       R = cdiv(H, TILE_H), C = cdiv(W, TILE_W).
     """
+    hit = _bin_hits(tri_data[:, :, live_col:live_col + 5], chunk,
+                    image_width, image_height, row_offset, full_height,
+                    top_down=top_down, tile_h=tile_h, tile_w=tile_w)
+    counts = jnp.sum(hit, axis=-1, dtype=jnp.int32)[..., None]
+    candidates = jnp.argsort(~hit, axis=-1, stable=True).astype(jnp.int32)
+    return candidates, counts
+
+
+def _bin_hits(bbox5, chunk, image_width, image_height, row_offset,
+              full_height, top_down=False, tile_h=None, tile_w=None):
+    """Chunk-bbox x tile overlap matrix [B, R, C, n_chunks] (bool).
+
+    bbox5 is [B, T_pad, 5] = (live, min_x, max_x, min_y, max_y) per
+    triangle — the shared hit test behind `_bin_chunks` (which adds the
+    candidate-compaction argsort) and the spatial-sort auto decision
+    (which only needs the pair count).
+    """
     tile_h = TILE_H if tile_h is None else tile_h
     tile_w = TILE_W if tile_w is None else tile_w
-    batch, t_pad, _ = tri_data.shape
+    batch, t_pad, _ = bbox5.shape
     n_chunks = t_pad // chunk
     n_rows = pl.cdiv(image_height, tile_h)
     n_cols = pl.cdiv(image_width, tile_w)
-    per_tri = tri_data[:, :, live_col:live_col + 5].reshape(
-        batch, n_chunks, chunk, 5)
+    per_tri = bbox5.reshape(batch, n_chunks, chunk, 5)
     live = per_tri[..., 0] > 0.0
     inf = jnp.float32(np.inf)
     cmin_x = jnp.min(jnp.where(live, per_tri[..., 1], inf), axis=2)
@@ -237,13 +260,10 @@ def _bin_chunks(tri_data, chunk, image_width, image_height, row_offset,
     tmin_x = tj * tile_w * (2.0 / image_width) - 1.0
     tmax_x = (tj + 1) * tile_w * (2.0 / image_width) - 1.0
 
-    hit = ((cmin_x[:, None, None, :] <= tmax_x[None, None, :, None]) &
-           (cmax_x[:, None, None, :] >= tmin_x[None, None, :, None]) &
-           (cmin_y[:, None, None, :] <= tmax_y[None, :, None, None]) &
-           (cmax_y[:, None, None, :] >= tmin_y[None, :, None, None]))
-    counts = jnp.sum(hit, axis=-1, dtype=jnp.int32)[..., None]
-    candidates = jnp.argsort(~hit, axis=-1, stable=True).astype(jnp.int32)
-    return candidates, counts
+    return ((cmin_x[:, None, None, :] <= tmax_x[None, None, :, None]) &
+            (cmax_x[:, None, None, :] >= tmin_x[None, None, :, None]) &
+            (cmin_y[:, None, None, :] <= tmax_y[None, :, None, None]) &
+            (cmax_y[:, None, None, :] >= tmin_y[None, :, None, None]))
 
 
 def _rasterize_chunk_core(data, px, py, chunk, chunk_start):
@@ -597,10 +617,7 @@ def _bwd_kernel(row_off_ref, count_ref, cand_ref, tri_ref, id_ref, b0_ref,
 
 
 def _scatter_corner_grads(dcorner, triangles, batch, vertex_count):
-    """Coord-major [B, T_pad, 9] table -> df/d(clip vertices) [B, V, 4].
-
-    `triangles` may be shared [T, 3] or per-batch [B, T, 3].
-    """
+    """Coord-major [B, T_pad, 9] table -> df/d(clip vertices) [B, V, 4]."""
     tris = jnp.asarray(triangles, jnp.int32)
     n_tri = tris.shape[-2]
     df_dvertices = jnp.zeros([batch, vertex_count, 4], jnp.float32)
@@ -610,12 +627,7 @@ def _scatter_corner_grads(dcorner, triangles, batch, vertex_count):
             [grads_xyw[..., 0:2],
              jnp.zeros([batch, n_tri, 1], jnp.float32),
              grads_xyw[..., 2:3]], axis=-1)
-        if tris.ndim == 3:
-            df_dvertices = jax.vmap(
-                lambda df, tr, up: df.at[tr].add(up))(
-                    df_dvertices, tris[..., k], updates)
-        else:
-            df_dvertices = df_dvertices.at[:, tris[:, k]].add(updates)
+        df_dvertices = df_dvertices.at[:, tris[:, k]].add(updates)
     return df_dvertices
 
 
@@ -777,36 +789,76 @@ def _pad_attr_count(attribute_count):
 def _spatial_order(clip_vertices, triangles, y_bits=6, x_bits=10):
     """Screen-space triangle order for tight binning: [T] permutation.
 
-    Sorts triangles by NDC centroid, y-major in 2**y_bits horizontal bands
-    with x ascending within a band — so consecutive triangles (and hence
-    the chunk-level bbox unions `_bin_chunks` culls with) stay compact in
-    both tile axes. Measured on the 256^2 teapot headline: 1864 -> 1282
-    binned (tile, chunk) pairs, -31%. Hard rasterization is a pure
-    arg-min selection, so reordering changes NO output values — only which
-    triangle wins when two z values tie bit-exactly (coplanar overlaps),
-    where the reference's later-id rule is itself arbitrary.
+    Sorts triangles by batch-mean NDC centroid, y-major in 2**y_bits
+    horizontal bands with x ascending within a band — so consecutive
+    triangles (and hence the chunk-level bbox unions `_bin_chunks` culls
+    with) stay compact in both tile axes. Measured on the 256^2 teapot
+    headline: 1864 -> 1282 binned (tile, chunk) pairs, -31%. Hard
+    rasterization is a pure arg-min selection, so reordering changes NO
+    output values — only which triangle wins when two z values tie
+    bit-exactly (coplanar overlaps), where the reference's later-id rule
+    is itself arbitrary.
+
+    The order is SHARED across the batch (clip_vertices [B, V, 4] ->
+    batch-mean centroids): a per-batch order binned ~20% tighter on
+    rotated batches but made every downstream triangle gather/scatter a
+    per-batch-index op, which measured >2x slower end-to-end at the
+    512^2/10k-tri stress config (255 -> 583 ms/step) — shared indices
+    keep XLA's cheap operand-batched gather/scatter lowering.
     """
-    tv = clip_vertices[triangles]
+    tv = clip_vertices[..., triangles, :]  # [B, T, 3, 4]
     w = tv[..., 3]
     safe_w = jnp.where(w != 0.0, w, 1.0)
     nd = tv[..., :2] / safe_w[..., None]
-    cx = jnp.clip(jnp.mean(nd[..., 0], axis=1) * 0.5 + 0.5, 0.0, 1.0)
-    cy = jnp.clip(jnp.mean(nd[..., 1], axis=1) * 0.5 + 0.5, 0.0, 1.0)
+    cx = jnp.mean(nd[..., 0], axis=-1)  # [B, T] per-batch centroid x
+    cy = jnp.mean(nd[..., 1], axis=-1)
+    if cx.ndim == 2:  # batch-mean
+        cx = jnp.mean(cx, axis=0)
+        cy = jnp.mean(cy, axis=0)
+    cx = jnp.clip(cx * 0.5 + 0.5, 0.0, 1.0)
+    cy = jnp.clip(cy * 0.5 + 0.5, 0.0, 1.0)
     yq = (cy * ((1 << y_bits) - 1)).astype(jnp.int32)
     xq = (cx * ((1 << x_bits) - 1)).astype(jnp.int32)
     return jnp.argsort((yq << x_bits) | xq)
 
 
-def _pack_corner_attributes(attributes, triangles, a_pad, n_tri_padded):
-    """[B, V, A] -> [B, T_pad, 3*a_pad] per-triangle corner attributes.
+def _spatial_order_auto(clip_vertices, triangles, chunk, image_width,
+                        image_height, row_offset, full_height):
+    """[T] permutation: screen-space sorted, or identity if that bins
+    tighter.
 
-    `triangles` may be shared [T, 3] or per-batch [B, T, 3] (the
-    spatial-sort path permutes per batch element).
+    Whether `_spatial_order` helps is mesh-dependent: it bins the 2.4k-tri
+    teapot 21% tighter (+14% end-to-end) but the UV-sphere stress mesh 35%
+    LOOSER — topology-adjacent triangles share edges, so a well-ordered
+    mesh's chunk bboxes beat any centroid sort's. Rather than guess, count
+    the binned (tile, chunk) pairs both ways with the cheap `_bin_hits`
+    overlap test (no candidate argsort) and keep whichever order culls
+    tighter — decided per call under jit, no recompiles.
     """
-    if triangles.ndim == 3:
-        corner = jax.vmap(lambda a, t: a[t])(attributes, triangles)
-    else:
-        corner = attributes[:, triangles]  # [B, T, 3, A]
+    tris = jnp.asarray(triangles, jnp.int32)
+    order_s = _spatial_order(clip_vertices, tris)
+    tv = clip_vertices[..., tris, :]  # [B, T, 3, 4]
+    bbox5 = _bbox_live_cols(tv[..., 0], tv[..., 1], tv[..., 3])
+
+    t = tris.shape[0]
+    pad = (-t) % chunk
+
+    def pairs_of(b5):
+        if pad:
+            b5 = jnp.pad(b5, [(0, 0), (0, pad), (0, 0)])
+        hit = _bin_hits(b5, chunk, image_width, image_height, row_offset,
+                        full_height)
+        return jnp.sum(hit, dtype=jnp.int32)
+
+    native = pairs_of(bbox5)
+    sorted_ = pairs_of(bbox5[:, order_s])
+    return jnp.where(sorted_ < native, order_s,
+                     jnp.arange(t, dtype=order_s.dtype))
+
+
+def _pack_corner_attributes(attributes, triangles, a_pad, n_tri_padded):
+    """[B, V, A] -> [B, T_pad, 3*a_pad] per-triangle corner attributes."""
+    corner = attributes[:, triangles]  # [B, T, 3, A]
     batch, t, _, a = corner.shape
     corner = jnp.pad(
         corner, [(0, 0), (0, n_tri_padded - t), (0, 0), (0, a_pad - a)])
@@ -1140,13 +1192,7 @@ def _backward_fused(tri_data, attr_packed, triangles, vertex_count,
     for k in range(3):
         attr_updates = dattr_tab[:, :n_tri,
                                  k * a_pad:k * a_pad + attribute_count]
-        if tris.ndim == 3:
-            df_dattributes = jax.vmap(
-                lambda df, tr, up: df.at[tr].add(up))(
-                    df_dattributes, tris[..., k], attr_updates)
-        else:
-            df_dattributes = df_dattributes.at[:, tris[:, k]].add(
-                attr_updates)
+        df_dattributes = df_dattributes.at[:, tris[:, k]].add(attr_updates)
     return df_dvertices, df_dattributes
 
 
@@ -1164,12 +1210,7 @@ def _interp_fwd(clip_vertices, attributes, triangles, row_offset,
                 image_width, image_height, full_height, interpret, with_z,
                 dot_precision):
     chunk = _fused_chunk_for(np.shape(triangles)[-2])
-    if np.ndim(triangles) == 3:  # per-batch (spatially sorted) triangles
-        tri_data = jax.vmap(
-            lambda cv, tr: _pack_triangle_data(cv, tr, chunk))(
-                clip_vertices, triangles)
-    else:
-        tri_data = _pack_batched(clip_vertices, triangles, chunk)
+    tri_data = _pack_batched(clip_vertices, triangles, chunk)
     a = attributes.shape[-1]
     a_pad = _pad_attr_count(a)
     attr_packed = _pack_corner_attributes(attributes, triangles, a_pad,
@@ -1217,11 +1258,12 @@ def rasterize_interpolate_pallas_batched(clip_vertices, attributes,
       clip_vertices: [batch, V, 4] f32 clip-space positions.
       attributes: [batch, V, A] f32 per-vertex attributes.
       triangles: [T, 3] i32.
-      spatial_sort: process triangles in per-batch screen-space order
-        (_spatial_order) so the binning prepass culls tighter — same
-        rendered values (hard rasterization is a pure selection; only
-        bit-exact z ties between coplanar triangles can resolve to the
-        other triangle). Applied to single-pass meshes only; disable via
+      spatial_sort: re-bin triangles in a batch-shared screen-space order
+        when that culls tighter than the caller's order
+        (_spatial_order_auto decides per call, under jit) — same rendered
+        values (hard rasterization is a pure selection; only bit-exact z
+        ties between coplanar triangles can resolve to the other
+        triangle). Applied to single-pass meshes only; disable via
         HardRasterizerConfig(spatial_sort=False) for strict later-id tie
         reproduction.
 
@@ -1257,16 +1299,16 @@ def rasterize_interpolate_pallas_batched(clip_vertices, attributes,
 
     if len(slices) <= 1:  # includes the zero-triangle mesh (empty slices)
         if spatial_sort and tris.shape[0] > 1:
-            order = jax.lax.stop_gradient(jax.vmap(
-                _spatial_order, in_axes=(0, None))(clip_vertices, tris))
-            tris_b = jax.vmap(lambda o: tris[o])(order)  # [B, T, 3]
-            ids_p, bc, ai = one_pass(tris_b)
+            order = jax.lax.stop_gradient(_spatial_order_auto(
+                clip_vertices, tris, _fused_chunk_for(tris.shape[0]),
+                image_width, image_height, row_off,
+                full_height))  # shared [T], identity when native bins tighter
+            ids_p, bc, ai = one_pass(tris[order])
             # Translate winner ids back to the caller's triangle indexing;
             # background pixels (id 0 under the kernels' contract, bc 0)
             # must stay 0, not order[0].
             covered = jnp.sum(bc, axis=-1) > 0.5
-            ids = jnp.where(covered,
-                            jax.vmap(lambda o, i: o[i])(order, ids_p), 0)
+            ids = jnp.where(covered, order[ids_p], 0)
             return ids, bc, ai
         return one_pass(tris)
     # Multi-pass: render <= MAX_PALLAS_TRIANGLES triangles per pass and

@@ -99,6 +99,26 @@ def build_scene(batch, size, sphere_resolution=None):
                 mesh_name=mesh_name, tri_count=int(t.shape[0]))
 
 
+def _timed_windows(run_step, block, iters, windows=3):
+    """Median per-step time over `windows` timing windows of `iters` steps.
+
+    Short single windows (the old scheme: one window of 20 steps ~ 120 ms)
+    are dominated by host-dispatch jitter — round-3 measurements of an
+    unchanged tree spread 660-840 renders/s run to run. The median of
+    three longer windows tracks the steady state the chip actually
+    sustains in a training loop.
+    """
+    out = None
+    dts = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = run_step()
+        block(out)
+        dts.append((time.perf_counter() - t0) / iters)
+    return sorted(dts)[len(dts) // 2]
+
+
 def bench_hard(batch, size, iters, sphere_resolution=None, profile_dir=None):
     import contextlib
 
@@ -125,14 +145,11 @@ def bench_hard(batch, size, iters, sphere_resolution=None, profile_dir=None):
     ctx = (profiling.trace(profile_dir) if profile_dir
            else contextlib.nullcontext())
     with ctx:
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            loss, grads = step(scene["vertices"])
-        jax.block_until_ready((loss, grads))
-        dt = time.perf_counter() - t0
+        dt = _timed_windows(
+            lambda: step(scene["vertices"]), jax.block_until_ready, iters)
     if profile_dir:
         print(f"xprof trace written to {profile_dir}", file=sys.stderr)
-    return batch * iters / dt, scene, dt / iters
+    return batch / dt, scene, dt
 
 
 def bench_soft(batch, size, iters, sphere_resolution=None):
@@ -153,12 +170,9 @@ def bench_soft(batch, size, iters, sphere_resolution=None):
     step = jax.jit(jax.value_and_grad(loss_fn))
     loss, grads = step(scene["vertices"])
     jax.block_until_ready((loss, grads))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        loss, grads = step(scene["vertices"])
-    jax.block_until_ready((loss, grads))
-    dt = time.perf_counter() - t0
-    return batch * iters / dt, scene, dt / iters
+    dt = _timed_windows(
+        lambda: step(scene["vertices"]), jax.block_until_ready, iters)
+    return batch / dt, scene, dt
 
 
 def estimate_soft_cost(scene, size, n_lights=2, blur_radius=0.01):
@@ -171,20 +185,22 @@ def estimate_soft_cost(scene, size, n_lights=2, blur_radius=0.01):
     pixel) FLOP constants are read off the kernel bodies:
 
       forward (_chunk_forward + online-softmax update): 12 barycentric
-      mul/adds, ~48 segment-distance, ~30 edge-pick/perspective/L1, ~45
-      attribute interpolation (9 attrs), ~12 normal normalize, ~23 per
-      light, ~26 sigmoid/exp/z, ~28 softmax-state update
-      -> ~224 + 23 * L per tri-px;
+      mul/adds, ~42 segment-distance (reciprocal edge lengths are packed),
+      ~27 edge-pick/perspective/L1 (reciprocal w packed), ~45 attribute
+      interpolation (9 attrs), ~12 normal normalize, ~23 per light, ~26
+      sigmoid/exp/z, ~28 softmax-state update
+      -> ~215 + 23 * L per tri-px;
 
-      backward (_bwd_kernel): recomputes the forward (~224 + 23 L), then
-      the analytic chains: ~45 column reductions as [C, P] x [P, 1] dots
-      (90), the inside-barycentric [C, P] x [P, 3] matmuls (18), shading /
-      normalize / attribute transposes (~140 + 40 L), L1-normalize and
-      edge-distance chains (~180) -> ~652 + 63 * L per tri-px.
+      backward (_bwd_kernel): recomputes the forward (~215 + 23 L), then
+      the analytic chains: the deferred one-dot reduction (tile-row
+      pre-reduction ~1/px + [R*C, TW] x [TW, 1] dot ~2/px across ~59
+      columns -> ~120), shading / normalize / attribute transposes
+      (~140 + 40 L), L1-normalize and edge-distance chains (~170)
+      -> ~645 + 63 * L per tri-px.
 
     Estimated +-20%: good enough to place the kernel on the roofline
     (compute- vs bandwidth-bound), not for accounting. HBM bytes cover the
-    [T_pad, 53] tables (read fwd + bwd), the 6 forward output images, the
+    [T_pad, _COLS] tables (read fwd + bwd), the 6 forward output images, the
     11 backward image operands, and the gradient tables.
     """
     import jax.numpy as jnp
@@ -209,10 +225,10 @@ def estimate_soft_cost(scene, size, n_lights=2, blur_radius=0.01):
 
     t_pad = tri_data.shape[1]
     n_px = batch * size * size
-    table_bytes = batch * t_pad * 53 * 4
+    table_bytes = batch * t_pad * sp._COLS * 4
     fwd_images = n_px * 4 * 6          # rgba + m + sumw
     bwd_images = n_px * 4 * 11         # residuals + cotangents
-    grad_tables = batch * t_pad * 53 * 4
+    grad_tables = batch * t_pad * sp._COLS * 4
     hbm_bytes = (table_bytes + fwd_images) + (
         table_bytes + fwd_images + bwd_images + grad_tables)
     return flops, hbm_bytes, pairs
@@ -383,7 +399,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--batch", type=int, default=4)
-    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--soft", action="store_true")
     parser.add_argument("--pose", action="store_true",
                         help="500-step Adam pose-optimization benchmark")

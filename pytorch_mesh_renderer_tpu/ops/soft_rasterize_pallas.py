@@ -24,7 +24,7 @@ soft_rasterize_cuda backward): it re-evaluates the forward quantities per
 (pixel, triangle) chunk and accumulates analytic gradients w.r.t. the
 packed per-triangle table (barycentric matrix rows, NDC vertices, clip w,
 depths, world/normal/color attributes) plus light positions/intensities;
-per-pixel reductions stay in VMEM and the [T, 53] gradient table is the
+per-pixel reductions stay in VMEM and the [T, 59] gradient table is the
 only HBM traffic. Gradients to clip-space vertices/attributes then follow
 by transposing the (cheap, [T]-sized) packing function with jax.vjp.
 
@@ -55,22 +55,26 @@ from . import soft_rasterize as soft_xla
 TILE_H = 16
 TILE_W = 128
 # (16, 128) tiles. Chunk size doubles as the binning granularity
-# (candidate lists are chunk-aligned); with per-tile binning, chunk 16
-# measured fastest at the 128^2 teapot fwd+bwd (284 vs 261 renders/s at
-# 32 on v5e; (8, 128) tiles with chunk 8 measured 277 — smaller soft tiles
-# don't pay for their loop overhead).
-TRI_CHUNK = 16
-_COLS = 53
+# (candidate lists are chunk-aligned). Measured on the 128^2 teapot
+# fwd+bwd on v5e (r3, after the one-dot deferred-reduction backward):
+# chunk 8 beats 16 (11.2 vs 11.9 ms/step — tighter chunk-bbox unions cut
+# binned pairs faster than the per-chunk flush overhead grows) and
+# (8, 128) tiles measured neutral-to-worse (11.2 ms with a slower
+# forward). Mean valid-lane occupancy per (tile, chunk) pair is ~0.2%
+# at this config — the dense tile x chunk structure, not VPU throughput,
+# is the soft kernel's efficiency ceiling (see BENCH.md).
+TRI_CHUNK = 8
+_COLS = 59
 EPS = soft_xla.EPS
 _NEG_BIG = -1e30
 
-# Narrow tables ([T, 53] input, gradient blocks) lane-pad to 128 in VMEM; at
+# Narrow tables ([T, 59] input, gradient blocks) lane-pad to 128 in VMEM; at
 # 10k+ triangles that exceeds the conservative default scoped limit, but
 # v5e has far more physical VMEM.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 # Per-pass cap on the triangle count for the compiled soft kernels — the
-# [T, 53] table and its [T, 53] gradient accumulator are VMEM-resident per
+# [T, 59] table and its [T, 59] gradient accumulator are VMEM-resident per
 # batch element (lane-padded to 128: ~512 B/tri each). Meshes beyond the cap
 # render in MULTIPLE PASSES whose raw (rgba, m, sumw) outputs are merged
 # with the exact online-softmax state merge (see
@@ -81,13 +85,21 @@ MAX_PALLAS_TRIANGLES = 49152
 
 def _pack_triangle_data(clip_space_vertices, triangles, world_space_vertices,
                         normals, diffuse_colors, blur_radius):
-    """Per-triangle data table [T_pad, 53].
+    """Per-triangle data table [T_pad, 59].
 
     Columns: 0-8 normalized 2D-inverse rows (screen barycentric coeffs),
     9-14 NDC corner xy (x0,y0,x1,y1,x2,y2), 15-17 NDC corner z, 18-20 clip
     w, 21 keep (back-face/degenerate cull, rasterize.py:331-336), 22-25
     blur-inflated NDC bbox, 26-34 world corner xyz, 35-43 corner normals,
-    44-52 corner diffuse rgb.
+    44-52 corner diffuse rgb, 53-55 reciprocal clip w (guarded), 56-58
+    reciprocal squared edge lengths (edges 01, 12, 20).
+
+    The reciprocal columns cache per-triangle divides the kernels would
+    otherwise redo per (triangle, pixel): 53-55 carry real cotangents
+    (the kernels differentiate w only through 1/w — the pack VJP supplies
+    the -1/w^2 chain); 56-58 are pure forward caches whose endpoint chain
+    is already folded into the kernels' analytic edge gradients, so their
+    cotangent stays zero (double-counting guard).
     """
     tris = jnp.asarray(triangles, jnp.int32)
     tv = clip_space_vertices[tris]  # [T, 3, 4]
@@ -123,6 +135,14 @@ def _pack_triangle_data(clip_space_vertices, triangles, world_space_vertices,
     vxy = jnp.stack([vx[:, 0], vy[:, 0], vx[:, 1], vy[:, 1], vx[:, 2],
                      vy[:, 2]], axis=-1)
 
+    inv_w = 1.0 / jnp.where(w != 0.0, w, 1.0)
+    edge_len2 = jnp.stack([
+        (vx[:, 1] - vx[:, 0]) ** 2 + (vy[:, 1] - vy[:, 0]) ** 2,
+        (vx[:, 2] - vx[:, 1]) ** 2 + (vy[:, 2] - vy[:, 1]) ** 2,
+        (vx[:, 0] - vx[:, 2]) ** 2 + (vy[:, 0] - vy[:, 2]) ** 2,
+    ], axis=-1)
+    inv_len2 = 1.0 / jnp.maximum(edge_len2, 1e-24)
+
     data = jnp.concatenate([
         m2_inv.reshape(-1, 9),                      # 0-8
         vxy,                                        # 9-14
@@ -133,6 +153,8 @@ def _pack_triangle_data(clip_space_vertices, triangles, world_space_vertices,
         world_space_vertices[tris].reshape(-1, 9),  # 26-34
         normals[tris].reshape(-1, 9),               # 35-43
         diffuse_colors[tris].reshape(-1, 9),        # 44-52
+        inv_w,                                      # 53-55
+        inv_len2,                                   # 56-58
     ], axis=-1)
 
     t = data.shape[0]
@@ -144,16 +166,18 @@ def _pack_triangle_data(clip_space_vertices, triangles, world_space_vertices,
     return data
 
 
-def _segment_sq_dist(pxv, pyv, ax, ay, bx, by):
+def _segment_sq_dist(pxv, pyv, ax, ay, bx, by, inv_len2):
     """Squared distance from tile pixels to segment [a, b], plus offset t.
 
     Vector form of point_to_segment_nearest (rasterize.py:159-176).
+    inv_len2 is the packed per-triangle 1/max(|b-a|^2, 1e-24) cache
+    (table cols 56-58) — max(sqrt(l2), 1e-12)^2 == max(l2, 1e-24) exactly
+    (sqrt is monotone), so this matches the spec's guarded length while
+    saving a sqrt AND a divide per (edge, pixel).
     """
     abx = bx - ax
     aby = by - ay
-    length = jnp.sqrt(abx * abx + aby * aby)
-    safe_len = jnp.maximum(length, 1e-12)
-    t = ((pxv - ax) * abx + (pyv - ay) * aby) / (safe_len * safe_len)
+    t = ((pxv - ax) * abx + (pyv - ay) * aby) * inv_len2
     t = jnp.clip(t, 0.0, 1.0)
     nx = ax + t * abx - pxv
     ny = ay + t * aby - pyv
@@ -208,9 +232,9 @@ def _chunk_forward(data, px, py, light, sigma, gamma, sq_blur,
     x0, y0 = col(9), col(10)
     x1, y1 = col(11), col(12)
     x2, y2 = col(13), col(14)
-    d01, t01 = _segment_sq_dist(px, py, x0, y0, x1, y1)
-    d12, t12 = _segment_sq_dist(px, py, x1, y1, x2, y2)
-    d20, t20 = _segment_sq_dist(px, py, x2, y2, x0, y0)
+    d01, t01 = _segment_sq_dist(px, py, x0, y0, x1, y1, col(56))
+    d12, t12 = _segment_sq_dist(px, py, x1, y1, x2, y2, col(57))
+    d20, t20 = _segment_sq_dist(px, py, x2, y2, x0, y0, col(58))
     sq_dist = jnp.minimum(d01, jnp.minimum(d12, d20))
     pick01 = (d01 <= d12) & (d01 <= d20)
     pick12 = (~pick01) & (d12 <= d20)
@@ -223,13 +247,10 @@ def _chunk_forward(data, px, py, light, sigma, gamma, sq_blur,
     cb1 = jnp.where(inside, bc1, eb1)
     cb2 = jnp.where(inside, bc2, eb2)
 
-    w0r, w1r, w2r = col(18), col(19), col(20)
-    w0 = jnp.where(w0r != 0.0, w0r, 1.0)
-    w1 = jnp.where(w1r != 0.0, w1r, 1.0)
-    w2 = jnp.where(w2r != 0.0, w2r, 1.0)
-    ow0 = cb0 / w0
-    ow1 = cb1 / w1
-    ow2 = cb2 / w2
+    iw0, iw1, iw2 = col(53), col(54), col(55)
+    ow0 = cb0 * iw0
+    ow1 = cb1 * iw1
+    ow2 = cb2 * iw2
     denom = jnp.abs(ow0) + jnp.abs(ow1) + jnp.abs(ow2)
     inv_denom = 1.0 / jnp.maximum(denom, 1e-12)
     sb0 = ow0 * inv_denom
@@ -406,52 +427,65 @@ def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
     inv_total = (1.0 / (sum_w + bg))[None]  # [1, TH, TW]
 
     n_pix = TILE_H * TILE_W
-    ones_pix = jnp.ones((1, n_pix), jnp.float32)
-    # [3, P] basis for the inside-barycentric block: cb is linear in
-    # (px, py, 1), so its three column sums are one [C, P] x [P, 3] matmul.
-    pxy1 = jnp.concatenate(
-        [px.reshape(1, n_pix), py.reshape(1, n_pix), ones_pix], axis=0)
+    ones_w = jnp.ones((1, TILE_W), jnp.float32)
+    eye_c = jnp.eye(TRI_CHUNK, dtype=jnp.float32)
 
-    # Per-column pixel reductions are DEFERRED and flushed in groups of 8:
-    # one [8C, P] x [P, 1] MXU dot replaces eight single-column dots (the
-    # ~45 reductions per chunk were dot-launch-latency bound as N=1 dots;
-    # grouping them cut the compiled backward by ~2x on v5e). Trace-time
-    # lists only — every chunk traces the same static 45-column schedule.
-    pending_cols = []
+    # ALL per-chunk pixel reductions (53 table columns + per-light + sigma/
+    # gamma) are DEFERRED into ONE [R*C, P] x [P, 1] MXU dot per chunk
+    # (R = 53 + 4*n_lights + 2). Round 2 grouped them 8 columns per dot,
+    # which cut the compiled backward ~2x vs single-column dots; one mega
+    # dot removes the remaining launches AND — via a small identity-matrix
+    # matmul that transposes the [R, C] result to [C, R] on the MXU —
+    # replaces the ~48 narrow [C, 1] read-modify-writes per chunk with a
+    # single wide [C, 53] accumulator update. Trace-time dicts/lists only:
+    # every chunk traces the same static reduction schedule.
+    cols = {}
+    extras = []
 
-    def acc(c, colidx, val):
+    def acc(colidx, val):
         """Queue sum-over-pixels of val [C, TH, TW] into table column."""
-        del c  # column writes happen at flush time, same chunk
-        pending_cols.append((colidx, val))
+        prev = cols.get(colidx)
+        cols[colidx] = val if prev is None else prev + val
 
-    def flush_acc(c):
-        group = 8
-        for g in range(0, len(pending_cols), group):
-            grp = pending_cols[g:g + group]
-            v_all = jnp.concatenate(
-                [v.reshape(TRI_CHUNK, n_pix) for _, v in grp], axis=0)
-            red = jax.lax.dot_general(
-                v_all, ones_pix, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision)  # [len(grp)*C, 1]
-            for j, (colidx, _) in enumerate(grp):
-                sl = (0, pl.ds(c * TRI_CHUNK, TRI_CHUNK),
-                      pl.ds(colidx, 1))
-                ddata_ref[sl] = (ddata_ref[sl]
-                                 + red[j * TRI_CHUNK:(j + 1) * TRI_CHUNK])
-        pending_cols.clear()
+    def acc_extra(val):
+        """Queue a scalar (summed over C and pixels) reduction; returns its
+        slot index in the flushed tail."""
+        extras.append(val)
+        return len(extras) - 1
 
-    def acc_light(l, comp, val):
-        red = jnp.sum(jnp.sum(jnp.sum(val, axis=2), axis=1, keepdims=True),
-                      axis=0, keepdims=True)  # [1, 1]
-        sl = (0, pl.ds(l, 1), pl.ds(comp, 1))
-        dlights_ref[sl] = dlights_ref[sl] + red
-
-    def acc_param(comp, val):
-        red = jnp.sum(jnp.sum(jnp.sum(val, axis=2), axis=1, keepdims=True),
-                      axis=0, keepdims=True)  # [1, 1]
-        sl = (0, pl.ds(0, 1), pl.ds(comp, 1))
-        dparams_ref[sl] = dparams_ref[sl] + red
+    def flush_acc(c, light_slots, param_slots):
+        # Pre-reduce every queued [C, TH, TW] value over the tile-row axis
+        # on the VPU first (halving adds the compiler can keep in
+        # registers): the staged dot operand shrinks TH-fold, so the one
+        # MXU reduction dot below reads [R*C, TW] instead of [R*C, TH*TW].
+        zero = jnp.zeros((TRI_CHUNK, TILE_W), jnp.float32)
+        rows = [zero if cols.get(j) is None else jnp.sum(cols[j], axis=1)
+                for j in range(_COLS)]
+        rows += [jnp.sum(v, axis=1) for v in extras]
+        n_rows = len(rows)
+        v_all = jnp.concatenate(rows, axis=0)
+        red = jax.lax.dot_general(
+            v_all, ones_w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)  # [R*C, 1]
+        # MXU transpose: eye [C, C] x red [R, C] (contracting the C axes)
+        # -> [C, R]. HIGHEST precision so the transpose adds no bf16
+        # rounding on top of the reduction's.
+        red_t = jax.lax.dot_general(
+            eye_c, red.reshape(n_rows, TRI_CHUNK), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # [C, R]
+        sl = (0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), pl.ds(0, _COLS))
+        ddata_ref[sl] = ddata_ref[sl] + red_t[:, :_COLS]
+        tail = jnp.sum(red_t[:, _COLS:], axis=0, keepdims=True)  # [1, E]
+        for slot, (l, comp) in light_slots:
+            lsl = (0, pl.ds(l, 1), pl.ds(comp, 1))
+            dlights_ref[lsl] = dlights_ref[lsl] + tail[:, slot:slot + 1]
+        for slot, comp in param_slots:
+            psl = (0, pl.ds(0, 1), pl.ds(comp, 1))
+            dparams_ref[psl] = dparams_ref[psl] + tail[:, slot:slot + 1]
+        cols.clear()
+        extras.clear()
 
     count = count_ref[0, 0, tj, 0]
 
@@ -498,15 +532,17 @@ def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
             # (bg ~ exp(EPS/gamma - m), EPS = 1e-10) is dropped — it is
             # O(EPS/gamma^2) relative and vanishes wherever any triangle
             # covers the pixel.
-            acc_param(0, -dsq * q["sq_dist"] / sigma)
-            acc_param(1, 2.0 * dz_ndc * q["z"] / gamma)
+            param_slots = [
+                (acc_extra(-dsq * q["sq_dist"] / sigma), 0),
+                (acc_extra(2.0 * dz_ndc * q["z"] / gamma), 1),
+            ]
 
             dsb0 = dz_ndc * col(15)
             dsb1 = dz_ndc * col(16)
             dsb2 = dz_ndc * col(17)
-            acc(c, 15, dz_ndc * q["sb0"])
-            acc(c, 16, dz_ndc * q["sb1"])
-            acc(c, 17, dz_ndc * q["sb2"])
+            acc(15, dz_ndc * q["sb0"])
+            acc(16, dz_ndc * q["sb1"])
+            acc(17, dz_ndc * q["sb2"])
 
             # shading path.
             light_sum = q["light_sum"]
@@ -521,12 +557,14 @@ def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
             dnx = jnp.zeros_like(light_sum)
             dny = jnp.zeros_like(light_sum)
             dnz = jnp.zeros_like(light_sum)
+            light_slots = []
             for l in range(n_lights):
                 lt = q["light_terms"][l]
                 gate = ((lt["ct"] > 0.0) & (lt["ct"] < 1.0)).astype(
                     jnp.float32)
                 dndl = dlight_sum * lt["intensity"] * gate
-                acc_light(l, 3, dlight_sum * lt["ndl"])
+                light_slots.append(
+                    (acc_extra(dlight_sum * lt["ndl"]), (l, 3)))
                 di = lt["d_inv"]
                 ct = lt["ct"]
                 ddx = dndl * (nx * di - ct * lt["dx"] * di * di)
@@ -538,9 +576,9 @@ def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
                 dp3x -= ddx
                 dp3y -= ddy
                 dp3z -= ddz
-                acc_light(l, 0, ddx)
-                acc_light(l, 1, ddy)
-                acc_light(l, 2, ddz)
+                light_slots.append((acc_extra(ddx), (l, 0)))
+                light_slots.append((acc_extra(ddy), (l, 1)))
+                light_slots.append((acc_extra(ddz), (l, 2)))
 
             # normalize backward: u -> n.
             ndot = dnx * nx + dny * ny + dnz * nz
@@ -552,15 +590,15 @@ def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
             # attribute interpolation transposes (corner-major columns).
             sb = (q["sb0"], q["sb1"], q["sb2"])
             for k in range(3):
-                acc(c, 26 + 3 * k, dp3x * sb[k])
-                acc(c, 27 + 3 * k, dp3y * sb[k])
-                acc(c, 28 + 3 * k, dp3z * sb[k])
-                acc(c, 35 + 3 * k, dux * sb[k])
-                acc(c, 36 + 3 * k, duy * sb[k])
-                acc(c, 37 + 3 * k, duz * sb[k])
-                acc(c, 44 + 3 * k, dcr * sb[k])
-                acc(c, 45 + 3 * k, dcg * sb[k])
-                acc(c, 46 + 3 * k, dcbl * sb[k])
+                acc(26 + 3 * k, dp3x * sb[k])
+                acc(27 + 3 * k, dp3y * sb[k])
+                acc(28 + 3 * k, dp3z * sb[k])
+                acc(35 + 3 * k, dux * sb[k])
+                acc(36 + 3 * k, duy * sb[k])
+                acc(37 + 3 * k, duz * sb[k])
+                acc(44 + 3 * k, dcr * sb[k])
+                acc(45 + 3 * k, dcg * sb[k])
+                acc(46 + 3 * k, dcbl * sb[k])
             dsb0 += (dp3x * col(26) + dp3y * col(27) + dp3z * col(28) +
                      dux * col(35) + duy * col(36) + duz * col(37) +
                      dcr * col(44) + dcg * col(45) + dcbl * col(46))
@@ -577,31 +615,25 @@ def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
             dow0 = (dsb0 - sdot * jnp.sign(q["ow0"])) * inv_d
             dow1 = (dsb1 - sdot * jnp.sign(q["ow1"])) * inv_d
             dow2 = (dsb2 - sdot * jnp.sign(q["ow2"])) * inv_d
-            w0, w1, w2 = q["w0"], q["w1"], q["w2"]
-            dcb0 = dow0 / w0
-            dcb1 = dow1 / w1
-            dcb2 = dow2 / w2
-            acc(c, 18, -dow0 * q["cb0"] / (w0 * w0))
-            acc(c, 19, -dow1 * q["cb1"] / (w1 * w1))
-            acc(c, 20, -dow2 * q["cb2"] / (w2 * w2))
+            iw0, iw1, iw2 = q["iw0"], q["iw1"], q["iw2"]
+            dcb0 = dow0 * iw0
+            dcb1 = dow1 * iw1
+            dcb2 = dow2 * iw2
+            # d(1/w) cotangents — the pack VJP turns them into the
+            # -cb*dow/w^2 clip-w gradients the spec produces directly.
+            acc(53, dow0 * q["cb0"])
+            acc(54, dow1 * q["cb1"])
+            acc(55, dow2 * q["cb2"])
 
             # inside: cb == screen barycentrics (linear in px, py, 1), so
-            # the (g*px, g*py, g) column sums collapse to ONE [3C, P] x
-            # [P, 3] matmul against the (px, py, 1) basis for all three
-            # barycentric rows.
+            # the matrix-row gradients are (g*px, g*py, g) — queued as
+            # ordinary columns into the chunk's one mega reduction dot.
             ins = q["inside"].astype(jnp.float32)
-            g_all = jnp.concatenate(
-                [(dcb * ins).reshape(TRI_CHUNK, n_pix)
-                 for dcb in (dcb0, dcb1, dcb2)], axis=0)
-            red = jax.lax.dot_general(
-                g_all, pxy1, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision)  # [3C, 3]
-            for i in range(3):
-                sl = (0, pl.ds(c * TRI_CHUNK, TRI_CHUNK),
-                      pl.ds(3 * i, 3))
-                ddata_ref[sl] = (ddata_ref[sl]
-                                 + red[i * TRI_CHUNK:(i + 1) * TRI_CHUNK])
+            for i, dcb in enumerate((dcb0, dcb1, dcb2)):
+                g = dcb * ins
+                acc(3 * i + 0, g * px)
+                acc(3 * i + 1, g * py)
+                acc(3 * i + 2, g)
 
             # outside: cb from the picked edge's t.
             outs = 1.0 - ins
@@ -610,22 +642,21 @@ def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
                 (dcb2 - dcb1) * outs * q["pick12"],
                 (dcb0 - dcb2) * outs * q["pick20"],
             )
-            edges = (  # (ax, ay, bx, by, t, pick) per edge
-                (9, 10, 11, 12, q["t01"], q["pick01"]),
-                (11, 12, 13, 14, q["t12"], q["pick12"]),
-                (13, 14, 9, 10, q["t20"], q["pick20"]),
+            edges = (  # (ax, ay, bx, by, inv_len2, t, pick) per edge
+                (9, 10, 11, 12, 56, q["t01"], q["pick01"]),
+                (11, 12, 13, 14, 57, q["t12"], q["pick12"]),
+                (13, 14, 9, 10, 58, q["t20"], q["pick20"]),
             )
-            for (cax, cay, cbx, cby, t, pick), dt in zip(edges, dts):
+            for (cax, cay, cbx, cby, cil2, t, pick), dt in zip(edges, dts):
                 ax, ay = col(cax), col(cay)
                 bx, by = col(cbx), col(cby)
                 abx = bx - ax
                 aby = by - ay
-                len2 = jnp.maximum(abx * abx + aby * aby, 1e-24)
                 qx = px - ax
                 qy = py - ay
                 tgate = ((t > 0.0) & (t < 1.0)).astype(jnp.float32)
                 dtg = dt * tgate
-                inv_len2 = 1.0 / len2
+                inv_len2 = col(cil2)
                 # d t / d a and d t / d b (derivation in module docstring).
                 da_tx = dtg * (-abx - qx + 2.0 * t * abx) * inv_len2
                 da_ty = dtg * (-aby - qy + 2.0 * t * aby) * inv_len2
@@ -640,11 +671,11 @@ def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
                 da_sy = dsqp * 2.0 * ry * (1.0 - t)
                 db_sx = dsqp * 2.0 * rx * t
                 db_sy = dsqp * 2.0 * ry * t
-                acc(c, cax, da_tx + da_sx)
-                acc(c, cay, da_ty + da_sy)
-                acc(c, cbx, db_tx + db_sx)
-                acc(c, cby, db_ty + db_sy)
-            flush_acc(c)
+                acc(cax, da_tx + da_sx)
+                acc(cay, da_ty + da_sy)
+                acc(cbx, db_tx + db_sx)
+                acc(cby, db_ty + db_sy)
+            flush_acc(c, light_slots, param_slots)
             return 0
 
         process(0)
@@ -655,7 +686,7 @@ def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
 
 def _run_forward(tri_data, lights, params, row_offset, image_width,
                  image_height, full_height, n_lights, interpret):
-    """Batched forward: tri_data [B, T_pad, 53], lights [B, L, 4]."""
+    """Batched forward: tri_data [B, T_pad, 59], lights [B, L, 4]."""
     batch, n_tri_padded, _ = tri_data.shape
     grid = (batch, pl.cdiv(image_height, TILE_H),
             pl.cdiv(image_width, TILE_W))

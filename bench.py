@@ -451,9 +451,16 @@ def main():
             args.batch, args.size, args.iters, args.sphere_resolution)
         metric = (f"soft fwd+bwd renders/sec @ {args.size}^2 "
                   f"({scene['mesh_name']}, batch {args.batch}, {platform})")
-        baseline = (BASELINE_MEASURED.get(
-            "soft_cube_128_fwdbwd_renders_per_sec")
-            if args.size == 128 else None)
+        # Prefer the apples-to-apples teapot anchor when it has been
+        # measured (scripts/measure_reference_soft_teapot.py); fall back
+        # to the strictly-easier cube anchor otherwise.
+        baseline = None
+        if args.size == 128:
+            if scene["mesh_name"] == "teapot":
+                baseline = BASELINE_MEASURED.get(
+                    "soft_teapot_128_fwdbwd_renders_per_sec")
+            baseline = baseline or BASELINE_MEASURED.get(
+                "soft_cube_128_fwdbwd_renders_per_sec")
     else:
         value, scene, sec_per_step = bench_hard(
             args.batch, args.size, args.iters, args.sphere_resolution,

@@ -152,7 +152,8 @@ def bench_hard(batch, size, iters, sphere_resolution=None, profile_dir=None):
     return batch / dt, scene, dt
 
 
-def bench_soft(batch, size, iters, sphere_resolution=None):
+def bench_soft(batch, size, iters, sphere_resolution=None,
+               silhouette=False):
     import jax
     import jax.numpy as jnp
     from pytorch_mesh_renderer_tpu.models import soft_mesh_renderer
@@ -160,12 +161,19 @@ def bench_soft(batch, size, iters, sphere_resolution=None):
     scene = build_scene(batch, size, sphere_resolution)
     triangles = scene["triangles"][:, ::-1].copy()  # soft wants CCW
 
-    def loss_fn(vertices):
-        images = soft_mesh_renderer.render(
-            vertices, triangles, scene["diffuse"], scene["eye"],
-            scene["center"], scene["up"], scene["lights"][..., :3],
-            scene["intensities"][..., 0], size, size)
-        return jnp.mean(images[..., 3] ** 2)
+    if silhouette:
+        def loss_fn(vertices):
+            alpha = soft_mesh_renderer.render_silhouette(
+                vertices, triangles, scene["eye"], scene["center"],
+                scene["up"], size, size)
+            return jnp.mean(alpha ** 2)
+    else:
+        def loss_fn(vertices):
+            images = soft_mesh_renderer.render(
+                vertices, triangles, scene["diffuse"], scene["eye"],
+                scene["center"], scene["up"], scene["lights"][..., :3],
+                scene["intensities"][..., 0], size, size)
+            return jnp.mean(images[..., 3] ** 2)
 
     step = jax.jit(jax.value_and_grad(loss_fn))
     loss, grads = step(scene["vertices"])
@@ -401,6 +409,10 @@ def main():
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--soft", action="store_true")
+    parser.add_argument("--silhouette", action="store_true",
+                        help="with --soft: the silhouette-only fast path "
+                             "(render_silhouette) instead of the full RGBA "
+                             "render")
     parser.add_argument("--pose", action="store_true",
                         help="500-step Adam pose-optimization benchmark")
     parser.add_argument("--steps", type=int, default=500)
@@ -448,12 +460,17 @@ def main():
 
     if args.soft:
         value, scene, sec_per_step = bench_soft(
-            args.batch, args.size, args.iters, args.sphere_resolution)
-        metric = (f"soft fwd+bwd renders/sec @ {args.size}^2 "
+            args.batch, args.size, args.iters, args.sphere_resolution,
+            silhouette=args.silhouette)
+        kind = "soft silhouette" if args.silhouette else "soft"
+        metric = (f"{kind} fwd+bwd renders/sec @ {args.size}^2 "
                   f"({scene['mesh_name']}, batch {args.batch}, {platform})")
         # Prefer the apples-to-apples teapot anchor when it has been
         # measured (scripts/measure_reference_soft_teapot.py); fall back
-        # to the strictly-easier cube anchor otherwise.
+        # to the strictly-easier cube anchor otherwise. The silhouette
+        # fast path has no reference analogue (the reference always
+        # renders RGBA) — the same anchor stays the honest comparison
+        # point for "fit a silhouette" workloads.
         baseline = None
         if args.size == 128:
             if scene["mesh_name"] == "teapot":
@@ -485,8 +502,15 @@ def main():
     # Roofline readout rides every bench line (hard AND soft) so the
     # driver-captured record carries %-of-peak, not just renders/sec
     # (VERDICT r2 weak #2/#6).
-    estimate = estimate_soft_cost if args.soft else estimate_hard_cost
-    flops, hbm_bytes, pairs = estimate(scene, args.size)
+    if args.soft and args.silhouette:
+        # Geometry-only kernels: ~100 fwd + ~190 bwd flops per tri-px over
+        # the same binned pairs (no interpolation/lighting/softmax).
+        _, hbm_bytes, pairs = estimate_soft_cost(scene, args.size)
+        from pytorch_mesh_renderer_tpu.ops import soft_rasterize_pallas as sp
+        flops = pairs * sp.TRI_CHUNK * sp.TILE_H * sp.TILE_W * 290
+    else:
+        estimate = estimate_soft_cost if args.soft else estimate_hard_cost
+        flops, hbm_bytes, pairs = estimate(scene, args.size)
     tflops = flops / sec_per_step / 1e12
     gbps = hbm_bytes / sec_per_step / 1e9
     record.update({

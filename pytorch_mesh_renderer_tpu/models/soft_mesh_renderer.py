@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..ops import camera, mesh
 from ..ops.soft_rasterize import rasterize
 
-__all__ = ["render"]
+__all__ = ["render", "render_silhouette"]
 
 
 def render(vertices, triangles, diffuse_colors, camera_position,
@@ -82,3 +82,70 @@ def render(vertices, triangles, diffuse_colors, camera_position,
         vertices, triangles, normals, diffuse_colors, light_positions,
         light_intensities, clip_space_transforms, image_width, image_height,
         sigma_val, gamma_val, blur_radius=blur_radius, config=config)
+
+
+def render_silhouette(vertices, triangles, camera_position, camera_lookat,
+                      camera_up, image_width, image_height, sigma_val=1e-5,
+                      blur_radius=0.01, fov_y=40.0, near_clip=0.01,
+                      far_clip=10.0, config=None):
+    """Soft-renders only the silhouette (alpha) channel: [B, H, W] in [0, 1].
+
+    Bit-identical to ``render(...)[..., 3]`` but ~3x faster on the Pallas
+    TPU backend: alpha = 1 - prod_t(1 - coverage_t) needs no lights,
+    normals, colors, shading, or softmax-depth aggregation (depth enters
+    only through the non-differentiable validity gate), so the
+    silhouette-only kernels skip them and the backward reduces just the
+    edge-endpoint gradients + dsigma. This is the fast path for the
+    dominant SoftRas workload — silhouette-loss shape/pose fitting
+    (reference examples 5b/6b/7b: src/examples/example5b.py etc.).
+
+    gamma does not enter the silhouette; sigma is traced + differentiable.
+    Falls back to the XLA spec renderer's alpha channel off-TPU or when
+    blur_radius is traced.
+    """
+    from .. import config as config_lib
+    from ..ops import soft_rasterize as soft_xla
+    from ..ops import soft_rasterize_pallas as soft_pallas
+
+    vertices = jnp.asarray(vertices, jnp.float32)
+    if vertices.ndim != 3 or vertices.shape[-1] != 3:
+        raise ValueError(
+            "Vertices must have shape [batch_size, vertex_count, 3].")
+    triangles = jnp.asarray(triangles, jnp.int32)
+    if triangles.ndim != 2 or triangles.shape[-1] != 3:
+        raise ValueError("Triangles must have shape [triangle_count, 3].")
+    batch_size = vertices.shape[0]
+
+    from .mesh_renderer import _broadcast_camera_vec, _broadcast_scalar
+    camera_position = _broadcast_camera_vec(camera_position, batch_size,
+                                            "camera_position")
+    camera_lookat = _broadcast_camera_vec(camera_lookat, batch_size,
+                                          "camera_lookat")
+    camera_up = _broadcast_camera_vec(camera_up, batch_size, "camera_up")
+    fov_y = _broadcast_scalar(fov_y, batch_size, "fov_y")
+    near_clip = _broadcast_scalar(near_clip, batch_size, "near_clip")
+    far_clip = _broadcast_scalar(far_clip, batch_size, "far_clip")
+
+    clip_space_transforms = camera.clip_space_transforms(
+        camera_position, camera_lookat, camera_up, fov_y, near_clip,
+        far_clip, image_width, image_height)
+    clip = camera.transform_homogeneous(clip_space_transforms, vertices)
+
+    cfg = config or config_lib.SOFT_CONFIG
+    backend = soft_xla._select_backend(cfg)
+    if backend == "pallas" and soft_xla._pallas_usable(
+            blur_radius, backend, triangles):
+        return soft_pallas.soft_rasterize_silhouette_pallas_batched(
+            clip, triangles, image_width, image_height, sigma_val,
+            blur_radius=blur_radius, dot_precision=cfg.dot_precision)
+
+    # XLA-spec fallback: the full renderer's alpha channel. Lights/colors
+    # do not influence alpha; pass neutral dummies.
+    dummy_colors = jnp.ones_like(vertices)
+    dummy_lights = jnp.zeros([batch_size, 1, 3], jnp.float32)
+    dummy_intensities = jnp.zeros([batch_size, 1], jnp.float32)
+    normals = mesh.compute_vertex_normals(vertices, triangles)
+    return rasterize(
+        vertices, triangles, normals, dummy_colors, dummy_lights,
+        dummy_intensities, clip_space_transforms, image_width, image_height,
+        sigma_val, 1e-4, blur_radius=blur_radius, config=config)[..., 3]

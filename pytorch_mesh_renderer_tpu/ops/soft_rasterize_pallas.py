@@ -214,11 +214,17 @@ _bin_specs = hard_pallas._bin_specs
 
 
 def _chunk_forward(data, px, py, light, sigma, gamma, sq_blur,
-                   n_lights):
+                   n_lights, shade=True):
     """Recomputes all per-(pixel, chunk-triangle) forward quantities.
 
     Shared by the forward and backward kernels so they agree bit-for-bit.
     Returns a dict of [C, TH, TW] arrays (plus per-light lists).
+
+    shade=False (the silhouette-only kernels) stops after coverage: the
+    attribute interpolation, normal/lighting, shading, and softmax-depth
+    logit are skipped entirely — alpha = 1 - prod(1 - coverage) depends on
+    none of them (depth enters only through the non-differentiable z_ok
+    validity gate, which IS still computed).
     """
     def col(k):
         return data[:, k].reshape(TRI_CHUNK, 1, 1)
@@ -266,44 +272,45 @@ def _chunk_forward(data, px, py, light, sigma, gamma, sq_blur,
     keep = col(21) > 0.0
     valid = keep & in_bbox & (inside | (sq_dist <= sq_blur)) & z_ok
 
-    p3x = sb0 * col(26) + sb1 * col(29) + sb2 * col(32)
-    p3y = sb0 * col(27) + sb1 * col(30) + sb2 * col(33)
-    p3z = sb0 * col(28) + sb1 * col(31) + sb2 * col(34)
-    ux = sb0 * col(35) + sb1 * col(38) + sb2 * col(41)
-    uy = sb0 * col(36) + sb1 * col(39) + sb2 * col(42)
-    uz = sb0 * col(37) + sb1 * col(40) + sb2 * col(43)
-    u_norm = jnp.sqrt(ux * ux + uy * uy + uz * uz)
-    n_inv = 1.0 / jnp.maximum(u_norm, 1e-12)
-    nx, ny, nz = ux * n_inv, uy * n_inv, uz * n_inv
-    cr = sb0 * col(44) + sb1 * col(47) + sb2 * col(50)
-    cg = sb0 * col(45) + sb1 * col(48) + sb2 * col(51)
-    cbl = sb0 * col(46) + sb1 * col(49) + sb2 * col(52)
+    if shade:
+        p3x = sb0 * col(26) + sb1 * col(29) + sb2 * col(32)
+        p3y = sb0 * col(27) + sb1 * col(30) + sb2 * col(33)
+        p3z = sb0 * col(28) + sb1 * col(31) + sb2 * col(34)
+        ux = sb0 * col(35) + sb1 * col(38) + sb2 * col(41)
+        uy = sb0 * col(36) + sb1 * col(39) + sb2 * col(42)
+        uz = sb0 * col(37) + sb1 * col(40) + sb2 * col(43)
+        u_norm = jnp.sqrt(ux * ux + uy * uy + uz * uz)
+        n_inv = 1.0 / jnp.maximum(u_norm, 1e-12)
+        nx, ny, nz = ux * n_inv, uy * n_inv, uz * n_inv
+        cr = sb0 * col(44) + sb1 * col(47) + sb2 * col(50)
+        cg = sb0 * col(45) + sb1 * col(48) + sb2 * col(51)
+        cbl = sb0 * col(46) + sb1 * col(49) + sb2 * col(52)
 
-    light_sum = jnp.zeros_like(p3x)
-    light_terms = []
-    for l in range(n_lights):
-        lx = light(l, 0)
-        ly = light(l, 1)
-        lz = light(l, 2)
-        intensity = light(l, 3)
-        dx = lx - p3x
-        dy = ly - p3y
-        dz = lz - p3z
-        d_norm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-        d_inv = 1.0 / jnp.maximum(d_norm, 1e-12)
-        ct = (dx * nx + dy * ny + dz * nz) * d_inv
-        ndl = jnp.clip(ct, 0.0, 1.0)
-        light_sum = light_sum + ndl * intensity
-        light_terms.append(dict(dx=dx, dy=dy, dz=dz, d_inv=d_inv, ct=ct,
-                                ndl=ndl, intensity=intensity))
-    shade_r = cr * light_sum
-    shade_g = cg * light_sum
-    shade_b = cbl * light_sum
+        light_sum = jnp.zeros_like(p3x)
+        light_terms = []
+        for l in range(n_lights):
+            lx = light(l, 0)
+            ly = light(l, 1)
+            lz = light(l, 2)
+            intensity = light(l, 3)
+            dx = lx - p3x
+            dy = ly - p3y
+            dz = lz - p3z
+            d_norm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            d_inv = 1.0 / jnp.maximum(d_norm, 1e-12)
+            ct = (dx * nx + dy * ny + dz * nz) * d_inv
+            ndl = jnp.clip(ct, 0.0, 1.0)
+            light_sum = light_sum + ndl * intensity
+            light_terms.append(dict(dx=dx, dy=dy, dz=dz, d_inv=d_inv, ct=ct,
+                                    ndl=ndl, intensity=intensity))
+        shade_r = cr * light_sum
+        shade_g = cg * light_sum
+        shade_b = cbl * light_sum
+        logit = jnp.where(valid, z / gamma, _NEG_BIG)
 
     sgn = jnp.where(inside, 1.0, -1.0)
     cov_raw = jax.nn.sigmoid(sgn * sq_dist / sigma)
     coverage = jnp.where(valid, cov_raw, 0.0)
-    logit = jnp.where(valid, z / gamma, _NEG_BIG)
 
     q.update(locals())
     q.pop("data"); q.pop("light"); q.pop("q")
@@ -642,39 +649,7 @@ def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
                 (dcb2 - dcb1) * outs * q["pick12"],
                 (dcb0 - dcb2) * outs * q["pick20"],
             )
-            edges = (  # (ax, ay, bx, by, inv_len2, t, pick) per edge
-                (9, 10, 11, 12, 56, q["t01"], q["pick01"]),
-                (11, 12, 13, 14, 57, q["t12"], q["pick12"]),
-                (13, 14, 9, 10, 58, q["t20"], q["pick20"]),
-            )
-            for (cax, cay, cbx, cby, cil2, t, pick), dt in zip(edges, dts):
-                ax, ay = col(cax), col(cay)
-                bx, by = col(cbx), col(cby)
-                abx = bx - ax
-                aby = by - ay
-                qx = px - ax
-                qy = py - ay
-                tgate = ((t > 0.0) & (t < 1.0)).astype(jnp.float32)
-                dtg = dt * tgate
-                inv_len2 = col(cil2)
-                # d t / d a and d t / d b (derivation in module docstring).
-                da_tx = dtg * (-abx - qx + 2.0 * t * abx) * inv_len2
-                da_ty = dtg * (-aby - qy + 2.0 * t * aby) * inv_len2
-                db_tx = dtg * (qx - 2.0 * t * abx) * inv_len2
-                db_ty = dtg * (qy - 2.0 * t * aby) * inv_len2
-                # sq_dist path (envelope: t treated constant).
-                pickf = pick.astype(jnp.float32)
-                rx = ax + t * abx - px
-                ry = ay + t * aby - py
-                dsqp = dsq * pickf
-                da_sx = dsqp * 2.0 * rx * (1.0 - t)
-                da_sy = dsqp * 2.0 * ry * (1.0 - t)
-                db_sx = dsqp * 2.0 * rx * t
-                db_sy = dsqp * 2.0 * ry * t
-                acc(cax, da_tx + da_sx)
-                acc(cay, da_ty + da_sy)
-                acc(cbx, db_tx + db_sx)
-                acc(cby, db_ty + db_sy)
+            _edge_gradients(q, col, px, py, dsq, dts, acc)
             flush_acc(c, light_slots, param_slots)
             return 0
 
@@ -682,6 +657,343 @@ def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
         return 0
 
     jax.lax.fori_loop(0, count, chunk_body, 0)
+
+
+def _edge_gradients(q, col, px, py, dsq, dts, acc):
+    """Edge-endpoint gradients (table cols 9-14), shared by both backwards.
+
+    Two chains per picked nearest edge: the offset-t path (dts — the edge
+    barycentric fallback; identically zero for the silhouette-only kernel,
+    where XLA constant-folds it away) and the squared-distance envelope
+    path (dsq; t treated constant at the interior optimum — module
+    docstring).
+    """
+    edges = (  # (ax, ay, bx, by, inv_len2, t, pick) per edge
+        (9, 10, 11, 12, 56, q["t01"], q["pick01"]),
+        (11, 12, 13, 14, 57, q["t12"], q["pick12"]),
+        (13, 14, 9, 10, 58, q["t20"], q["pick20"]),
+    )
+    for (cax, cay, cbx, cby, cil2, t, pick), dt in zip(edges, dts):
+        ax, ay = col(cax), col(cay)
+        bx, by = col(cbx), col(cby)
+        abx = bx - ax
+        aby = by - ay
+        qx = px - ax
+        qy = py - ay
+        tgate = ((t > 0.0) & (t < 1.0)).astype(jnp.float32)
+        dtg = dt * tgate
+        inv_len2 = col(cil2)
+        # d t / d a and d t / d b (derivation in module docstring).
+        da_tx = dtg * (-abx - qx + 2.0 * t * abx) * inv_len2
+        da_ty = dtg * (-aby - qy + 2.0 * t * aby) * inv_len2
+        db_tx = dtg * (qx - 2.0 * t * abx) * inv_len2
+        db_ty = dtg * (qy - 2.0 * t * aby) * inv_len2
+        # sq_dist path (envelope: t treated constant).
+        pickf = pick.astype(jnp.float32)
+        rx = ax + t * abx - px
+        ry = ay + t * aby - py
+        dsqp = dsq * pickf
+        da_sx = dsqp * 2.0 * rx * (1.0 - t)
+        da_sy = dsqp * 2.0 * ry * (1.0 - t)
+        db_sx = dsqp * 2.0 * rx * t
+        db_sy = dsqp * 2.0 * ry * t
+        acc(cax, da_tx + da_sx)
+        acc(cay, da_ty + da_sy)
+        acc(cbx, db_tx + db_sx)
+        acc(cby, db_ty + db_sy)
+
+
+def _fwd_kernel_sil(params_ref, count_ref, cand_ref, tri_ref, alpha_ref, *,
+                    image_width, image_height, full_height, n_tri_padded):
+    """Silhouette-only forward: alpha = 1 - prod(1 - coverage).
+
+    The SoftRas alpha channel needs none of the shading/softmax machinery
+    (models/soft_mesh_renderer.render_silhouette) — per (pixel, triangle)
+    only the geometry phase runs (~3x the full kernel's rate). Matches the
+    full kernel's alpha output bit-for-bit: same _chunk_forward geometry,
+    same coverage product.
+    """
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    sigma = params_ref[0]
+    sq_blur = params_ref[2]
+    row_off = params_ref[3]
+
+    px, py = _tile_coords(ti, tj, row_off, image_width, full_height)
+    count = count_ref[0, 0, tj, 0]
+
+    def chunk_body(i, sil):
+        c = cand_ref[0, 0, tj, i]
+        data = tri_ref[0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]
+        q = _chunk_forward(data, px, py, None, sigma, 1.0, sq_blur,
+                           n_lights=0, shade=False)
+        one_minus = 1.0 - q["coverage"]
+        factor = one_minus[0]
+        for k in range(1, TRI_CHUNK):
+            factor = factor * one_minus[k]
+        return sil * factor
+
+    sil = jax.lax.fori_loop(
+        0, count, chunk_body, jnp.ones((TILE_H, TILE_W), jnp.float32))
+    alpha_ref[0] = 1.0 - sil
+
+
+def _bwd_kernel_sil(params_ref, count_ref, cand_ref, tri_ref, sil_ref,
+                    da_ref, ddata_ref, dparams_ref, *, image_width,
+                    image_height, full_height, n_tri_padded, precision):
+    """Silhouette-only backward: edge-endpoint + dsigma gradients.
+
+    alpha touches the triangle table ONLY through coverage =
+    sigmoid(sgn * sq_dist / sigma) gated by validity: the barycentric
+    matrix, depths, w, and attribute columns all have identically zero
+    alpha-cotangent (depth enters via the non-differentiable z_ok gate),
+    so the reduction flushes just the 6 edge-endpoint columns and dsigma —
+    the same deferred one-dot scheme as the full backward, 10x narrower.
+    """
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    sigma = params_ref[0]
+    sq_blur = params_ref[2]
+    row_off = params_ref[3]
+
+    @pl.when((ti == 0) & (tj == 0))
+    def _init():
+        ddata_ref[:] = jnp.zeros_like(ddata_ref)
+        dparams_ref[:] = jnp.zeros_like(dparams_ref)
+
+    px, py = _tile_coords(ti, tj, row_off, image_width, full_height)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    pix_ok = ((row_idx + ti * TILE_H < image_height) &
+              (col_idx + tj * TILE_W < image_width))
+    sil = jnp.where(pix_ok, sil_ref[0], 1.0)
+    d_a = jnp.where(pix_ok, da_ref[0], 0.0)
+
+    ones_w = jnp.ones((1, TILE_W), jnp.float32)
+    eye_c = jnp.eye(TRI_CHUNK, dtype=jnp.float32)
+    cols = {}
+
+    def acc(colidx, val):
+        prev = cols.get(colidx)
+        cols[colidx] = val if prev is None else prev + val
+
+    count = count_ref[0, 0, tj, 0]
+
+    def chunk_body(i, _):
+        c = cand_ref[0, 0, tj, i]
+        data = tri_ref[0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]
+
+        def col(k):
+            return data[:, k].reshape(TRI_CHUNK, 1, 1)
+
+        q = _chunk_forward(data, px, py, None, sigma, 1.0, sq_blur,
+                           n_lights=0, shade=False)
+        cov = q["coverage"]
+        # d alpha / d cov_c = prod_{j != c}(1 - cov_j) = sil / (1 - cov_c);
+        # folding through sigmoid' = cov(1-cov) cancels the (1-cov) (module
+        # docstring) — same chain as the full backward's d_a term.
+        dsq = (q["sgn"] / sigma) * d_a[None] * sil[None] * cov
+        _edge_gradients(q, col, px, py, dsq,
+                        (jnp.float32(0.0),) * 3, acc)
+        dsig = -dsq * q["sq_dist"] / sigma
+
+        # Deferred one-dot flush over the 6 edge columns + dsigma.
+        rows = [jnp.sum(cols[j], axis=1) for j in range(9, 15)]
+        rows.append(jnp.sum(dsig, axis=1))
+        v_all = jnp.concatenate(rows, axis=0)  # [7C, TW]
+        red = jax.lax.dot_general(
+            v_all, ones_w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        red_t = jax.lax.dot_general(
+            eye_c, red.reshape(len(rows), TRI_CHUNK),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # [C, 7]
+        sl = (0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), pl.ds(9, 6))
+        ddata_ref[sl] = ddata_ref[sl] + red_t[:, :6]
+        psl = (0, pl.ds(0, 1), pl.ds(0, 1))
+        dparams_ref[psl] = (dparams_ref[psl]
+                            + jnp.sum(red_t[:, 6:7], axis=0, keepdims=True))
+        cols.clear()
+        return 0
+
+    jax.lax.fori_loop(0, count, chunk_body, 0)
+
+
+def _run_forward_sil(tri_data, params, row_offset, image_width,
+                     image_height, full_height, interpret):
+    batch, n_tri_padded, _ = tri_data.shape
+    grid = (batch, pl.cdiv(image_height, TILE_H),
+            pl.cdiv(image_width, TILE_W))
+    kernel = functools.partial(
+        _fwd_kernel_sil, image_width=image_width,
+        image_height=image_height, full_height=full_height,
+        n_tri_padded=n_tri_padded)
+    tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
+                             lambda b, i, j: (b, i, j),
+                             memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec((1, n_tri_padded, _COLS),
+                            lambda b, i, j: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    candidates, counts = _bin_chunks(tri_data, image_width, image_height,
+                                     row_offset, full_height)
+    count_spec, cand_spec = _bin_specs(
+        pl.cdiv(image_width, TILE_W), n_tri_padded // TRI_CHUNK)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            count_spec,
+            cand_spec,
+            tri_spec,
+        ],
+        out_specs=[tile_spec],
+        out_shape=[jax.ShapeDtypeStruct(
+            (batch, image_height, image_width), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(params, counts, candidates, tri_data)[0]
+
+
+def _run_backward_sil(tri_data, params, row_offset, alpha, cotangent,
+                      image_width, image_height, full_height, interpret,
+                      dot_precision):
+    batch, n_tri_padded, _ = tri_data.shape
+    grid = (batch, pl.cdiv(image_height, TILE_H),
+            pl.cdiv(image_width, TILE_W))
+    kernel = functools.partial(
+        _bwd_kernel_sil, image_width=image_width,
+        image_height=image_height, full_height=full_height,
+        n_tri_padded=n_tri_padded,
+        precision=hard_pallas._resolve_precision(dot_precision))
+    tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
+                             lambda b, i, j: (b, i, j),
+                             memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec((1, n_tri_padded, _COLS),
+                            lambda b, i, j: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    acc_spec_data = pl.BlockSpec((1, n_tri_padded, _COLS),
+                                 lambda b, i, j: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    acc_spec_params = pl.BlockSpec((1, 1, 8),
+                                   lambda b, i, j: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    candidates, counts = _bin_chunks(tri_data, image_width, image_height,
+                                     row_offset, full_height)
+    count_spec, cand_spec = _bin_specs(
+        pl.cdiv(image_width, TILE_W), n_tri_padded // TRI_CHUNK)
+    ddata, dparams = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            count_spec,
+            cand_spec,
+            tri_spec,
+        ] + [tile_spec] * 2,
+        out_specs=[acc_spec_data, acc_spec_params],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, n_tri_padded, _COLS), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 1, 8), jnp.float32),
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(params, counts, candidates, tri_data, 1.0 - alpha, cotangent)
+    return ddata, dparams
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _soft_sil_core(clip_space_vertices, triangles, row_offset, sigma_val,
+                   image_width, image_height, blur_radius, full_height,
+                   interpret, dot_precision):
+    out, _ = _sil_fwd(clip_space_vertices, triangles, row_offset, sigma_val,
+                      image_width, image_height, blur_radius, full_height,
+                      interpret, dot_precision)
+    return out
+
+
+def _sil_pack(clip_v, triangles, blur_radius):
+    zeros = jnp.zeros(clip_v.shape[:-1] + (3,), jnp.float32)
+    return _pack_batched(clip_v, triangles, zeros, zeros, zeros,
+                         blur_radius)
+
+
+def _sil_fwd(clip_v, triangles, row_offset, sigma_val, image_width,
+             image_height, blur_radius, full_height, interpret,
+             dot_precision):
+    tri_data = _sil_pack(clip_v, triangles, blur_radius)
+    params = _make_params(sigma_val, 1.0, blur_radius, row_offset)
+    alpha = _run_forward_sil(tri_data, params, row_offset, image_width,
+                             image_height, full_height, interpret)
+    residuals = (triangles, jax.lax.stop_gradient(tri_data),
+                 jax.lax.stop_gradient(params), alpha, clip_v)
+    return alpha, residuals
+
+
+def _sil_bwd(image_width, image_height, blur_radius, full_height, interpret,
+             dot_precision, residuals, cotangent):
+    triangles, tri_data, params, alpha, clip_v = residuals
+    ddata, dparams = _run_backward_sil(
+        tri_data, params, params[3], alpha, cotangent, image_width,
+        image_height, full_height, interpret, dot_precision)
+    _, pack_vjp = jax.vjp(
+        lambda cv: _sil_pack(cv, triangles, blur_radius), clip_v)
+    (dclip,) = pack_vjp(ddata)
+    dsigma = jnp.sum(dparams[:, 0, 0])
+    tri_cot = np.zeros(np.shape(triangles), dtype=jax.dtypes.float0)
+    row_cot = np.zeros((), dtype=jax.dtypes.float0)
+    return (dclip, tri_cot, row_cot, dsigma)
+
+
+_soft_sil_core.defvjp(lambda *args: _sil_fwd(*args), _sil_bwd)
+
+
+def soft_rasterize_silhouette_pallas_batched(
+        clip_space_vertices, triangles, image_width, image_height,
+        sigma_val, blur_radius=0.01, row_offset=None, full_height=None,
+        interpret=None, dot_precision="default"):
+    """Silhouette-only SoftRas: [B, H, W] alpha, ~3x the full kernel rate.
+
+    Bit-identical to soft_rasterize_pallas_batched(...)[..., 3] (same
+    geometry phase, same coverage product) but skips the shading/softmax
+    math entirely, and its backward reduces only the 6 edge-endpoint
+    columns + dsigma. sigma is a traced, differentiable scalar; gamma does
+    not enter the silhouette. Meshes beyond MAX_PALLAS_TRIANGLES compose
+    multiplicatively across passes (alpha = 1 - prod_p(1 - alpha_p) —
+    exact, gradients included).
+    """
+    if full_height is None:
+        full_height = image_height
+    if row_offset is None:
+        row_offset = jnp.zeros((), jnp.int32)
+    if isinstance(blur_radius, jax.core.Tracer):
+        raise TypeError(
+            "blur_radius must be a static float for the Pallas soft "
+            "rasterizer (it shapes the packed triangle bboxes); sigma may "
+            "be traced.")
+    interpret = _default_interpret(interpret)
+    tris = jnp.asarray(triangles, jnp.int32)
+    row_off = jnp.asarray(row_offset, jnp.int32)
+    sigma = jnp.asarray(sigma_val, jnp.float32)
+    hard_pallas._resolve_precision(dot_precision)  # validate eagerly
+
+    def one_pass(tri_slice):
+        return _soft_sil_core(
+            clip_space_vertices, tri_slice, row_off, sigma,
+            int(image_width), int(image_height), float(blur_radius),
+            int(full_height), interpret, dot_precision)
+
+    n_tri = tris.shape[0]
+    if n_tri <= MAX_PALLAS_TRIANGLES:
+        return one_pass(tris)
+    sil = 1.0
+    start = 0
+    while start < n_tri:
+        size = min(MAX_PALLAS_TRIANGLES, n_tri - start)
+        sil = sil * (1.0 - one_pass(tris[start:start + size]))
+        start += size
+    return 1.0 - sil
 
 
 def _run_forward(tri_data, lights, params, row_offset, image_width,

@@ -242,3 +242,105 @@ def test_soft_dot_precision_highest_matches_xla_ad():
     g_x = np.asarray(jax.grad(loss_xla)(clip))
     scale = np.abs(g_x).max() + 1e-6
     np.testing.assert_allclose(g_p / scale, g_x / scale, atol=2e-4)
+
+
+def test_silhouette_forward_matches_full_alpha():
+    """Silhouette-only kernel == the full kernel's alpha channel."""
+    from pytorch_mesh_renderer_tpu.ops.soft_rasterize_pallas import (
+        soft_rasterize_pallas_batched,
+        soft_rasterize_silhouette_pallas_batched)
+
+    args, tris = _scene()
+    clip, world, normals, colors, lights, intens = (a[None] for a in args)
+    full = soft_rasterize_pallas_batched(
+        clip, tris, world, normals, colors, lights, intens, SIZE, SIZE,
+        SIGMA, GAMMA, BLUR)
+    sil = soft_rasterize_silhouette_pallas_batched(
+        clip, tris, SIZE, SIZE, SIGMA, BLUR)
+    np.testing.assert_allclose(np.asarray(sil), np.asarray(full[..., 3]),
+                               atol=1e-6)
+
+
+def test_silhouette_gradients_match_full_alpha():
+    """d(alpha loss)/d clip and d/d sigma match the full backward's."""
+    from pytorch_mesh_renderer_tpu.ops.soft_rasterize_pallas import (
+        soft_rasterize_pallas_batched,
+        soft_rasterize_silhouette_pallas_batched)
+
+    args, tris = _scene()
+    clip, world, normals, colors, lights, intens = (a[None] for a in args)
+
+    def loss_sil(c, s):
+        out = soft_rasterize_silhouette_pallas_batched(
+            c, tris, SIZE, SIZE, s, BLUR)
+        return jnp.sum(out ** 2)
+
+    def loss_full(c, s):
+        out = soft_rasterize_pallas_batched(
+            c, tris, world, normals, colors, lights, intens, SIZE, SIZE,
+            s, GAMMA, BLUR)
+        return jnp.sum(out[..., 3] ** 2)
+
+    sig = jnp.float32(SIGMA)
+    gc_s, gs_s = jax.grad(loss_sil, argnums=(0, 1))(clip, sig)
+    gc_f, gs_f = jax.grad(loss_full, argnums=(0, 1))(clip, sig)
+    scale = np.abs(np.asarray(gc_f)).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(gc_s) / scale,
+                               np.asarray(gc_f) / scale, atol=2e-4)
+    np.testing.assert_allclose(float(gs_s), float(gs_f),
+                               rtol=2e-3, atol=1e-6)
+
+
+def test_silhouette_multi_pass_matches_single(monkeypatch):
+    """Per-pass alpha composes multiplicatively == one pass, grads too."""
+    from pytorch_mesh_renderer_tpu.ops import soft_rasterize_pallas as sp
+
+    rng = np.random.RandomState(3)
+    world = rng.uniform(-0.8, 0.8, [30, 3]).astype(np.float32)
+    tris = rng.randint(0, 30, [40, 3]).astype(np.int32)
+    w = rng.uniform(0.9, 1.2, [30]).astype(np.float32)
+    clip = np.concatenate([world * w[:, None], w[:, None]], axis=1)
+    clip = jnp.asarray(clip)[None]
+
+    def alpha_sum(c):
+        out = sp.soft_rasterize_silhouette_pallas_batched(
+            c, tris, SIZE, SIZE, SIGMA, BLUR)
+        return jnp.sum(out ** 2), out
+
+    (one, alpha_one), g_one = jax.value_and_grad(
+        alpha_sum, has_aux=True)(clip)
+    monkeypatch.setattr(sp, "MAX_PALLAS_TRIANGLES", 16)
+    (multi, alpha_multi), g_multi = jax.value_and_grad(
+        alpha_sum, has_aux=True)(clip)
+    np.testing.assert_allclose(np.asarray(alpha_multi),
+                               np.asarray(alpha_one), atol=1e-6)
+    scale = np.abs(np.asarray(g_one)).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(g_multi) / scale,
+                               np.asarray(g_one) / scale, atol=2e-4)
+
+
+def test_render_silhouette_model_backends_agree():
+    """models.render_silhouette: Pallas path == XLA fallback == full alpha."""
+    from pytorch_mesh_renderer_tpu import config as config_lib
+    from pytorch_mesh_renderer_tpu.models import shapes, soft_mesh_renderer
+
+    v, t, _ = shapes.cube(2.0)
+    vb = jnp.asarray(v)[None]
+    eye = jnp.array([[0.0, 0.0, 6.0]])
+    center = jnp.zeros([1, 3])
+    up = jnp.array([[0.0, 1.0, 0.0]])
+
+    sil_pallas = soft_mesh_renderer.render_silhouette(
+        vb, t, eye, center, up, 32, 32,
+        config=config_lib.SoftRasterizerConfig(backend="pallas"))
+    sil_xla = soft_mesh_renderer.render_silhouette(
+        vb, t, eye, center, up, 32, 32,
+        config=config_lib.SoftRasterizerConfig(backend="xla"))
+    full = soft_mesh_renderer.render(
+        vb, t, jnp.ones_like(vb), eye, center, up,
+        jnp.array([[[0.0, 0.0, 6.0]]]), jnp.ones([1, 1]), 32, 32,
+        config=config_lib.SoftRasterizerConfig(backend="pallas"))
+    np.testing.assert_allclose(np.asarray(sil_pallas), np.asarray(sil_xla),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sil_pallas),
+                               np.asarray(full[..., 3]), atol=1e-6)

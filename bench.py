@@ -372,13 +372,14 @@ def bench_pose(steps, size):
     center = jnp.zeros([1, 3]); up = jnp.array([[0.0, 1.0, 0.0]])
     colors = jnp.ones_like(verts)[None]
 
+    del colors  # silhouette-only: shading never enters the IoU loss
+
     def render_alpha(angles):
         rot = camera.euler_matrices(angles[None])[0, :3, :3]
         v = (verts @ rot.T)[None]
-        return soft_mesh_renderer.render(
-            v, tris, colors, eye, center, up, eye[:, None, :],
-            jnp.ones([1, 1]), size, size, sigma_val=1e-4,
-            gamma_val=1e-4)[0, ..., 3]
+        # Fast path — bit-identical to render(...)[..., 3] (docs).
+        return soft_mesh_renderer.render_silhouette(
+            v, tris, eye, center, up, size, size, sigma_val=1e-4)[0]
 
     target = render_alpha(jnp.array([-0.35, 0.0, 1.05]))
     opt = optax.adam(5e-2)

@@ -76,12 +76,12 @@ def main():
     intensities = jnp.ones([n_views, 1])
 
     def render_alphas(vertices):
+        # Silhouette-only fast path: bit-identical to the full render's
+        # alpha channel, ~2x faster (docs/soft_renderer.md).
         v = jnp.tile(vertices[None], [n_views, 1, 1])
-        colors = jnp.ones_like(v) * 0.7
-        images = soft_mesh_renderer.render(
-            v, tris, colors, eyes, centers, ups, lights, intensities,
-            args.size, args.size, sigma_val=args.sigma, gamma_val=args.gamma)
-        return images[..., 3]
+        return soft_mesh_renderer.render_silhouette(
+            v, tris, eyes, centers, ups, args.size, args.size,
+            sigma_val=args.sigma)
 
     # jit the preview renderer too (eager dispatch is slow on remote TPU).
     render_alphas_jit = jax.jit(render_alphas)

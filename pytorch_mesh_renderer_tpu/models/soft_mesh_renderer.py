@@ -103,9 +103,7 @@ def render_silhouette(vertices, triangles, camera_position, camera_lookat,
     Falls back to the XLA spec renderer's alpha channel off-TPU or when
     blur_radius is traced.
     """
-    from .. import config as config_lib
     from ..ops import soft_rasterize as soft_xla
-    from ..ops import soft_rasterize_pallas as soft_pallas
 
     vertices = jnp.asarray(vertices, jnp.float32)
     if vertices.ndim != 3 or vertices.shape[-1] != 3:
@@ -130,22 +128,6 @@ def render_silhouette(vertices, triangles, camera_position, camera_lookat,
         camera_position, camera_lookat, camera_up, fov_y, near_clip,
         far_clip, image_width, image_height)
     clip = camera.transform_homogeneous(clip_space_transforms, vertices)
-
-    cfg = config or config_lib.SOFT_CONFIG
-    backend = soft_xla._select_backend(cfg)
-    if backend == "pallas" and soft_xla._pallas_usable(
-            blur_radius, backend, triangles):
-        return soft_pallas.soft_rasterize_silhouette_pallas_batched(
-            clip, triangles, image_width, image_height, sigma_val,
-            blur_radius=blur_radius, dot_precision=cfg.dot_precision)
-
-    # XLA-spec fallback: the full renderer's alpha channel. Lights/colors
-    # do not influence alpha; pass neutral dummies.
-    dummy_colors = jnp.ones_like(vertices)
-    dummy_lights = jnp.zeros([batch_size, 1, 3], jnp.float32)
-    dummy_intensities = jnp.zeros([batch_size, 1], jnp.float32)
-    normals = mesh.compute_vertex_normals(vertices, triangles)
-    return rasterize(
-        vertices, triangles, normals, dummy_colors, dummy_lights,
-        dummy_intensities, clip_space_transforms, image_width, image_height,
-        sigma_val, 1e-4, blur_radius=blur_radius, config=config)[..., 3]
+    return soft_xla.rasterize_silhouette_clip_space_batch(
+        clip, triangles, image_width, image_height, sigma_val,
+        blur_radius=blur_radius, config=config)

@@ -109,7 +109,7 @@ def rasterize_batch(clip_space_vertices, triangles, world_space_vertices,
                     normals, diffuse_colors, light_positions,
                     light_intensities, image_width, image_height, sigma_val,
                     gamma_val, blur_radius=0.01, config=None, row_offset=None,
-                    full_height=None):
+                    full_height=None, silhouette_only=False):
     """Soft-rasterize one mesh already transformed to clip space.
 
     Args / returns match the reference's rasterize_batch
@@ -270,26 +270,33 @@ def rasterize_batch(clip_space_vertices, triangles, world_space_vertices,
         valid = (data["keep"][None, None] & in_bbox &
                  (is_inside | (sq_dist <= sq_blur)) & z_ok)
 
-        # Fused per-sample Phong diffuse shading (rasterize.py:183-208).
-        # Full f32 precision: on TPU the default einsum/matmul is bf16,
-        # which visibly shifts shaded colors (~1e-3) off the reference.
-        hi = jax.lax.Precision.HIGHEST
-        p3 = jnp.einsum("hwck,ckx->hwcx", sample_bc, data["world"],
-                        precision=hi)
-        n3 = normalize(
-            jnp.einsum("hwck,ckx->hwcx", sample_bc, data["normal"],
-                       precision=hi),
-            p=2, axis=-1)
-        dcol = jnp.einsum("hwck,ckx->hwcx", sample_bc, data["color"],
-                          precision=hi)
-        dirs = normalize(
-            light_positions[None, None, None, :, :] - p3[..., None, :],
-            p=2, axis=-1)  # [H, W, C, L, 3]
-        ndl = jnp.clip(
-            jnp.sum(dirs * n3[..., None, :], axis=-1), 0.0, 1.0)  # [H,W,C,L]
-        shade = dcol * jnp.sum(
-            ndl * light_intensities[None, None, None, :], axis=-1,
-            keepdims=True)  # [H, W, C, 3]
+        if silhouette_only:
+            # Alpha needs no shading; skipping it entirely (not feeding
+            # dummies) also avoids NaN AD through normalize() at zero
+            # vectors when callers have no real normals/lights to give.
+            shade = jnp.zeros(sample_bc.shape[:-1] + (3,), jnp.float32)
+        else:
+            # Fused per-sample Phong diffuse shading (rasterize.py:183-208).
+            # Full f32 precision: on TPU the default einsum/matmul is bf16,
+            # which visibly shifts shaded colors (~1e-3) off the reference.
+            hi = jax.lax.Precision.HIGHEST
+            p3 = jnp.einsum("hwck,ckx->hwcx", sample_bc, data["world"],
+                            precision=hi)
+            n3 = normalize(
+                jnp.einsum("hwck,ckx->hwcx", sample_bc, data["normal"],
+                           precision=hi),
+                p=2, axis=-1)
+            dcol = jnp.einsum("hwck,ckx->hwcx", sample_bc, data["color"],
+                              precision=hi)
+            dirs = normalize(
+                light_positions[None, None, None, :, :] - p3[..., None, :],
+                p=2, axis=-1)  # [H, W, C, L, 3]
+            ndl = jnp.clip(
+                jnp.sum(dirs * n3[..., None, :], axis=-1), 0.0,
+                1.0)  # [H, W, C, L]
+            shade = dcol * jnp.sum(
+                ndl * light_intensities[None, None, None, :], axis=-1,
+                keepdims=True)  # [H, W, C, 3]
 
         # Sigmoid coverage and softmax-depth logits (rasterize.py:388-394).
         sgn = jnp.where(is_inside, 1.0, -1.0)
@@ -379,3 +386,43 @@ def rasterize_clip_space_batch(clip_space_vertices, triangles,
 
     return jax.vmap(one)(clip_space_vertices, world_space_vertices, normals,
                          diffuse_colors, light_positions, light_intensities)
+
+
+def rasterize_silhouette_clip_space_batch(clip_space_vertices, triangles,
+                                          image_width, image_height,
+                                          sigma_val, blur_radius=0.01,
+                                          config=None, row_offset=None,
+                                          full_height=None):
+    """Silhouette-only (alpha channel) batched rasterization: [B, H, W].
+
+    Bit-identical to ``rasterize_clip_space_batch(...)[..., 3]`` but needs
+    no lights/normals/colors; on the Pallas backend it runs the dedicated
+    silhouette kernels (~2x the full render — soft_rasterize_pallas.py).
+    Off-TPU / traced blur the XLA spec runs with silhouette_only=True —
+    the shading block is skipped outright (alpha never depends on it), so
+    no dummy normals/lights enter AD. Supports row sharding via
+    row_offset/full_height like the full entry point.
+    """
+    cfg = config or config_lib.SOFT_CONFIG
+    backend = _select_backend(cfg)
+    if backend == "pallas" and _pallas_usable(blur_radius, backend,
+                                               triangles):
+        from .soft_rasterize_pallas import (
+            soft_rasterize_silhouette_pallas_batched)
+        return soft_rasterize_silhouette_pallas_batched(
+            clip_space_vertices, triangles, image_width, image_height,
+            sigma_val, blur_radius=blur_radius, row_offset=row_offset,
+            full_height=full_height, dot_precision=cfg.dot_precision)
+
+    zeros3 = jnp.zeros(clip_space_vertices.shape[1:-1] + (3,), jnp.float32)
+    dummy_lights = jnp.zeros([1, 3], jnp.float32)
+    dummy_intensities = jnp.zeros([1], jnp.float32)
+
+    def one(clip_v):
+        return rasterize_batch(
+            clip_v, triangles, zeros3, zeros3, zeros3, dummy_lights,
+            dummy_intensities, image_width, image_height, sigma_val, 1e-4,
+            blur_radius=blur_radius, config=config, row_offset=row_offset,
+            full_height=full_height, silhouette_only=True)[..., 3]
+
+    return jax.vmap(one)(clip_space_vertices)

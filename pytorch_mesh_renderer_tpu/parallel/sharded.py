@@ -142,6 +142,45 @@ def sharded_soft_rasterize(mesh, world_space_vertices, triangles, normals,
               diffuse_colors, light_positions, light_intensities)
 
 
+def sharded_soft_silhouette(mesh, world_space_vertices, triangles,
+                            camera_matrices, image_width, image_height,
+                            sigma_val, blur_radius=0.01, config=None):
+    """Silhouette-only soft render distributed over a (data, space) mesh.
+
+    The row-sharded counterpart of `soft_mesh_renderer.render_silhouette`
+    (~2x the full render on the Pallas backend): each space-axis strip
+    renders top-down rows [i*H/s, (i+1)*H/s) of the [B, H, W] alpha image;
+    the assembled output equals the unsharded silhouette exactly.
+    """
+    n_space = mesh.shape[SPACE_AXIS]
+    n_data = mesh.shape[DATA_AXIS]
+    if image_height % n_space != 0:
+        raise ValueError(
+            f"image_height={image_height} must divide over the space axis "
+            f"({n_space}).")
+    if world_space_vertices.shape[0] % n_data != 0:
+        raise ValueError("batch must divide over the data axis.")
+    local_h = image_height // n_space
+    tris = np.asarray(triangles, np.int32)
+
+    clip_space_vertices = camera.transform_homogeneous(
+        camera_matrices, world_space_vertices)
+
+    def strip(clip_v):
+        row_offset = jax.lax.axis_index(SPACE_AXIS) * local_h
+        return soft_rasterize_lib.rasterize_silhouette_clip_space_batch(
+            clip_v, tris, image_width, local_h, sigma_val,
+            blur_radius=blur_radius, config=config, row_offset=row_offset,
+            full_height=image_height)
+
+    fn = jax.shard_map(
+        strip, mesh=mesh,
+        in_specs=(P(DATA_AXIS),),
+        out_specs=P(DATA_AXIS, SPACE_AXIS),
+        check_vma=False)
+    return fn(clip_space_vertices)
+
+
 def make_train_step(loss_fn, optimizer, donate=True):
     """Builds a jitted SPMD train step: grad -> optimizer update.
 

@@ -282,3 +282,44 @@ def test_init_distributed_single_process_subprocess():
     assert result.returncode == 0, (
         f"stdout:\n{result.stdout}\nstderr:\n{result.stderr}")
     assert "DIST_OK" in result.stdout
+
+
+@needs_8_devices
+def test_sharded_soft_silhouette_matches_single_device():
+    """Row-sharded silhouette fast path == unsharded alpha, grads too."""
+    batch = 2
+    verts, tris, _ = shapes.sphere(1.0, resolution=6)
+    verts = jnp.tile(verts[None], [batch, 1, 1])
+    eye = jnp.tile(jnp.array([[0.0, 0.0, 4.0]]), [batch, 1])
+    center = jnp.zeros([batch, 3])
+    up = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), [batch, 1])
+    cams = camera.clip_space_transforms(
+        eye, center, up, jnp.full([batch], 40.0), jnp.full([batch], 0.01),
+        jnp.full([batch], 10.0), 16, 16)
+
+    def single_alpha(v):
+        normals = mesh_ops.compute_vertex_normals(v, tris)
+        colors = jnp.ones_like(v)
+        lights = jnp.zeros([batch, 1, 3])
+        intens = jnp.zeros([batch, 1])
+        return soft_rasterize.rasterize(
+            v, tris, normals, colors, lights, intens, cams, 16, 16,
+            1e-4, 1e-4)[..., 3]
+
+    m = parallel.make_mesh(data=2, space=4)
+
+    def sharded_alpha(v):
+        return parallel.sharded_soft_silhouette(
+            m, v, tris, cams, 16, 16, 1e-4)
+
+    got = jax.jit(sharded_alpha)(verts)
+    expected = single_alpha(verts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-4, atol=1e-5)
+
+    g_single = jax.grad(lambda v: jnp.mean(single_alpha(v) ** 2))(verts)
+    g_sharded = jax.jit(
+        jax.grad(lambda v: jnp.mean(sharded_alpha(v) ** 2)))(verts)
+    scale = np.abs(np.asarray(g_single)).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(g_sharded) / scale,
+                               np.asarray(g_single) / scale, atol=2e-4)

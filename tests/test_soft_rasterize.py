@@ -219,3 +219,45 @@ def test_optimize_single_triangle_translation():
     pixel_width = 0.2
     assert abs(float(tx) - target_tx) < pixel_width / 2, (
         f"translation {float(tx)} did not converge to {target_tx}")
+
+
+def test_silhouette_matches_reference_alpha_oracle():
+    """The silhouette-only entry reproduces the reference kernel's alpha
+    channel on the vendored two-triangle oracle scenario."""
+    from pytorch_mesh_renderer_tpu.ops.soft_rasterize import (
+        rasterize_silhouette_clip_space_batch)
+
+    world = np.array([[-0.6, -0.5, 0.1], [0.7, -0.4, -0.2], [0.0, 0.8, 0.0],
+                      [0.9, 0.6, 0.4]], np.float32)
+    tris = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    w = np.array([1.0, 1.3, 0.9, 1.1], np.float32)
+    clip = np.concatenate(
+        [world * w[:, None], np.full([4, 1], 0.25, np.float32) * w[:, None]],
+        axis=1)
+    clip[:, 3] = w
+
+    ours = np.asarray(rasterize_silhouette_clip_space_batch(
+        jnp.asarray(clip)[None], jnp.asarray(tris), 16, 16, 1e-4,
+        blur_radius=0.05))[0]
+
+    def compute():
+        import torch
+        import_reference()
+        from src.soft_mesh_renderer.rasterize import (
+            rasterize_batch as ref_batch)
+
+        rng = np.random.RandomState(7)
+        normals = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), [4, 1])
+        colors = rng.uniform(0.2, 1.0, [4, 3]).astype(np.float32)
+        lights = np.array([[0.5, 1.0, 3.0]], np.float32)
+        intens = np.array([1.3], np.float32)
+        theirs = ref_batch(
+            torch.from_numpy(clip), torch.from_numpy(tris),
+            torch.from_numpy(world), torch.from_numpy(normals),
+            torch.from_numpy(colors), torch.from_numpy(lights),
+            torch.from_numpy(intens), 16, 16, 1e-4, 1e-3, 0.05)
+        return {"image": theirs.detach().numpy()}
+
+    ref = oracle_snapshot("soft_two_triangle_16x16", compute)
+    np.testing.assert_allclose(ours, ref["image"][..., 3], atol=2e-4,
+                               rtol=1e-3)

@@ -90,7 +90,7 @@ def render_silhouette(vertices, triangles, camera_position, camera_lookat,
                       far_clip=10.0, config=None):
     """Soft-renders only the silhouette (alpha) channel: [B, H, W] in [0, 1].
 
-    Bit-identical to ``render(...)[..., 3]`` but ~3x faster on the Pallas
+    Bit-identical to ``render(...)[..., 3]`` but ~2x faster end-to-end on the Pallas
     TPU backend: alpha = 1 - prod_t(1 - coverage_t) needs no lights,
     normals, colors, shading, or softmax-depth aggregation (depth enters
     only through the non-differentiable validity gate), so the

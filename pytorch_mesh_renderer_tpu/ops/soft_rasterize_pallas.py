@@ -709,7 +709,7 @@ def _fwd_kernel_sil(params_ref, count_ref, cand_ref, tri_ref, alpha_ref, *,
 
     The SoftRas alpha channel needs none of the shading/softmax machinery
     (models/soft_mesh_renderer.render_silhouette) — per (pixel, triangle)
-    only the geometry phase runs (~3x the full kernel's rate). Matches the
+    only the geometry phase runs (~2x the full fwd+bwd step). Matches the
     full kernel's alpha output bit-for-bit: same _chunk_forward geometry,
     same coverage product.
     """
@@ -953,7 +953,7 @@ def soft_rasterize_silhouette_pallas_batched(
         clip_space_vertices, triangles, image_width, image_height,
         sigma_val, blur_radius=0.01, row_offset=None, full_height=None,
         interpret=None, dot_precision="default"):
-    """Silhouette-only SoftRas: [B, H, W] alpha, ~3x the full kernel rate.
+    """Silhouette-only SoftRas: [B, H, W] alpha, ~2x the full fwd+bwd rate.
 
     Bit-identical to soft_rasterize_pallas_batched(...)[..., 3] (same
     geometry phase, same coverage product) but skips the shading/softmax

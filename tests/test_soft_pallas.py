@@ -344,3 +344,31 @@ def test_render_silhouette_model_backends_agree():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(sil_pallas),
                                np.asarray(full[..., 3]), atol=1e-6)
+
+
+def test_silhouette_traced_blur_warns_and_falls_back():
+    """Traced blur on the silhouette entry: loud warning + XLA fallback
+    whose alpha matches the static-blur Pallas result."""
+    import warnings
+
+    from pytorch_mesh_renderer_tpu import config as config_lib
+    from pytorch_mesh_renderer_tpu.ops.soft_rasterize import (
+        rasterize_silhouette_clip_space_batch)
+
+    args, tris = _scene()
+    clip = args[0][None]
+    cfg = config_lib.SoftRasterizerConfig(backend="pallas")
+
+    @jax.jit
+    def render(blur):
+        return rasterize_silhouette_clip_space_batch(
+            clip, tris, SIZE, SIZE, SIGMA, blur_radius=blur, config=cfg)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = render(jnp.float32(BLUR))
+    assert any("blur_radius is a traced value" in str(w.message)
+               for w in caught)
+    want = rasterize_silhouette_clip_space_batch(
+        clip, tris, SIZE, SIZE, SIGMA, blur_radius=BLUR, config=cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)

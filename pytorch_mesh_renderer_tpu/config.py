@@ -27,18 +27,26 @@ class HardRasterizerConfig:
         'highest' (bf16x6 — exact f32 parity with the XLA spec at ~29%
         end-to-end cost). Affects only the Pallas backend's in-kernel
         matmuls; see rasterize_pallas.DOT_PRECISIONS.
-      spatial_sort: let the fused Pallas kernel re-bin triangles in a
-        batch-shared screen-space order when that culls tighter than the
-        caller's order (decided per call under jit; +14% on the 256^2
-        teapot headline, no-op on meshes whose native order already bins
-        well). Values are unchanged (pure selection); only bit-exact z
-        ties between coplanar triangles may resolve differently. Disable
-        for strict later-id tie reproduction.
+      spatial_sort: chunk-binning mode only — let the fused Pallas kernel
+        re-bin triangles in a batch-shared screen-space order when that
+        culls tighter than the caller's order (decided per call under
+        jit). Values are unchanged (pure selection); only bit-exact z
+        ties between coplanar triangles may resolve differently. The
+        gathered binning mode ignores this (its per-triangle tile lists
+        are already exact and its ties use original ids).
+      binning: 'gathered' (default) — triangle-granularity per-tile
+        binning: an XLA prepass scatters each triangle's packed row into
+        per-tile chunk-aligned segments, so kernels visit only true
+        (triangle, tile) bbox overlaps (~1.5-2.4x fewer visits than
+        chunk-granularity unions on the bench scenes); triangles spanning
+        many tiles fall back to the in-kernel legacy loop. 'chunk' — the
+        chunk-granularity prepass alone (debug/benchmark knob).
     """
     backend: str = "auto"
     triangle_chunk: int = 64
     dot_precision: str = "default"
     spatial_sort: bool = True
+    binning: str = "gathered"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -123,6 +123,14 @@ def _resolve_precision(name):
 
 # Packed triangle-data columns (see _pack_triangle_data).
 _COLS = 21
+# Kernel-table layout: packed data in 0.._COLS-1, original triangle id at
+# _ID_COL (f32, exact for ids < 2^24; -1 on dead rows), and — fused path
+# only — corner attributes from _ATTR_COL (8-aligned lane offset for Mosaic
+# sub-lane loads). Backward output tables: vertex-gradient columns 0..8,
+# attribute gradients from _OUT_ATTR_COL.
+_ID_COL = _COLS
+_ATTR_COL = 24
+_OUT_ATTR_COL = 16
 
 
 def _bbox_live_cols(x, y, vw):
@@ -145,6 +153,199 @@ def _bbox_live_cols(x, y, vw):
     min_y = jnp.where(unbounded, -big, jnp.min(ndc_y, axis=-1))
     max_y = jnp.where(unbounded, big, jnp.max(ndc_y, axis=-1))
     return jnp.stack([live, min_x, max_x, min_y, max_y], axis=-1)
+
+
+# --- Gathered (triangle-granularity) binning -------------------------------
+#
+# Chunk-granularity binning (`_bin_chunks`) culls with the UNION bbox of each
+# chunk's triangles, so every triangle is visited on every tile its chunk
+# union overlaps — measured 1.5-2.4x more (tile, triangle) visits than the
+# exact per-triangle overlap on the bench scenes. The gathered plan bins at
+# triangle granularity instead: an XLA prepass duplicates each triangle's
+# packed row into a per-tile, chunk-aligned segment of a "gathered" table
+# (ascending original ids within a segment), and the kernels walk each
+# tile's own contiguous segment. Triangles whose bbox spans more than
+# GATHER_TILE_CAP tiles (or that don't fit the static row budget) fall back
+# to the legacy chunk-binned loop over the ORIGINAL table with liveness
+# masked to exactly those triangles — the two loops partition the mesh, so
+# the scheme is also exact for additive (soft) aggregation semantics.
+# Because every kernel identifies triangles by the packed id column (not
+# the row position), winner selection (min z, max id) is order-independent
+# and the gathered mode is bit-identical to the chunk mode.
+
+GATHER_TILE_CAP = 8
+
+
+def _gather_budget_rows(t_pad, n_tiles, chunk):
+    """Static row budget of the gathered table section.
+
+    2x the triangle count covers the measured mean overlap (~1.3-1.5
+    tiles/triangle) with slack; + chunk per tile bounds the alignment
+    padding. Scenes that exceed the budget stay correct — whole tiles drop
+    to the legacy loop via the keep mask.
+    """
+    return 2 * t_pad + chunk * n_tiles
+
+
+def _gather_plan(bbox5, chunk, image_width, image_height, row_offset,
+                 full_height, budget_rows, cap=None,
+                 top_down=False, tile_h=None, tile_w=None):
+    """Triangle-granularity binning plan (batched).
+
+    Args:
+      bbox5: [B, T_pad, 5] (live, min_x, max_x, min_y, max_y) per triangle
+        (same columns `_bin_hits` consumes).
+      budget_rows: static row count S of the gathered table section.
+
+    Returns:
+      gather_idx [B, S] i32 — source triangle row per gathered-table slot
+        (t_pad = dead slot; slots are grouped in per-tile, chunk-aligned,
+        id-ascending segments);
+      keep [B, T_pad] bool — True where the triangle is fully handled by
+        the gathered segments (False = legacy-loop fallback: bbox spans
+        > cap tiles, or a target tile overflowed the row budget);
+      start_chunk / n_chunks [B, R, C, 1] i32 — each tile's segment as
+        chunk indices into the gathered section.
+    """
+    tile_h = TILE_H if tile_h is None else tile_h
+    tile_w = TILE_W if tile_w is None else tile_w
+    cap = GATHER_TILE_CAP if cap is None else cap  # call-time (testable)
+    batch, t_pad, _ = bbox5.shape
+    n_rows = pl.cdiv(image_height, tile_h)
+    n_cols = pl.cdiv(image_width, tile_w)
+    n_tiles = n_rows * n_cols
+    row_off = jnp.asarray(row_offset, jnp.float32)
+
+    def plan_one(b5):
+        live = b5[:, 0] > 0.0
+        # Pixel-space bbox within this shard's row window. Tile j covers
+        # pixels [j*tile, (j+1)*tile); floor() of the closed bbox bounds is
+        # a conservative superset of every tile containing a coverable
+        # pixel CENTER (see _bin_hits for the NDC-space equivalent).
+        x_lo = (b5[:, 1] + 1.0) * (image_width * 0.5)
+        x_hi = (b5[:, 2] + 1.0) * (image_width * 0.5)
+        if top_down:
+            y_lo = (1.0 - b5[:, 4]) * (full_height * 0.5) - row_off
+            y_hi = (1.0 - b5[:, 3]) * (full_height * 0.5) - row_off
+        else:
+            y_lo = (b5[:, 3] + 1.0) * (full_height * 0.5) - row_off
+            y_hi = (b5[:, 4] + 1.0) * (full_height * 0.5) - row_off
+        onscreen = ((x_hi >= 0.0) & (x_lo <= image_width) &
+                    (y_hi >= 0.0) & (y_lo <= image_height))
+        ci0 = jnp.clip(jnp.floor(x_lo / tile_w), 0,
+                       n_cols - 1).astype(jnp.int32)
+        ci1 = jnp.clip(jnp.floor(x_hi / tile_w), 0,
+                       n_cols - 1).astype(jnp.int32)
+        ri0 = jnp.clip(jnp.floor(y_lo / tile_h), 0,
+                       n_rows - 1).astype(jnp.int32)
+        ri1 = jnp.clip(jnp.floor(y_hi / tile_h), 0,
+                       n_rows - 1).astype(jnp.int32)
+        wspan = ci1 - ci0 + 1
+        nspan = wspan * (ri1 - ri0 + 1)
+        eligible = live & onscreen & (nspan <= cap)
+
+        # Exact (triangle, tile) hit matrix -> per-tile counts and the rank
+        # (segment position) of each triangle within each tile it hits.
+        rows_i = jnp.arange(n_rows, dtype=jnp.int32)
+        cols_i = jnp.arange(n_cols, dtype=jnp.int32)
+        row_hit = ((rows_i[None] >= ri0[:, None]) &
+                   (rows_i[None] <= ri1[:, None]))
+        col_hit = ((cols_i[None] >= ci0[:, None]) &
+                   (cols_i[None] <= ci1[:, None]))
+        hit = (eligible[:, None, None] & row_hit[:, :, None] &
+               col_hit[:, None, :]).reshape(t_pad, n_tiles)
+        hit_i = hit.astype(jnp.int32)
+
+        counts = jnp.sum(hit_i, axis=0)                        # [n_tiles]
+        rank = jnp.cumsum(hit_i, axis=0) - hit_i               # exclusive
+        pc = -(-counts // chunk) * chunk                       # chunk-padded
+        ps = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(pc)[:-1]])
+        tile_fits = ps + pc <= budget_rows
+        # A triangle touching any non-fitting tile must be handled entirely
+        # by the legacy loop (its already-placed slots become dead gaps).
+        drop = jnp.any(hit & ~tile_fits[None], axis=1)
+        keep = eligible & ~drop
+
+        # Row-major enumeration of each kept triangle's tile-span rect.
+        k = jnp.arange(cap, dtype=jnp.int32)
+        r_k = ri0[:, None] + k[None] // wspan[:, None]
+        c_k = ci0[:, None] + k[None] % wspan[:, None]
+        tile_k = jnp.clip(r_k * n_cols + c_k, 0, n_tiles - 1)
+        valid_k = keep[:, None] & (k[None] < nspan[:, None])
+        rank_k = jnp.take_along_axis(rank, tile_k, axis=1)
+        dst = jnp.where(valid_k, ps[tile_k] + rank_k, budget_rows)
+        src = jnp.broadcast_to(
+            jnp.arange(t_pad, dtype=jnp.int32)[:, None], dst.shape)
+        gather_idx = jnp.full((budget_rows,), t_pad, jnp.int32).at[
+            dst.reshape(-1)].set(src.reshape(-1), mode="drop")
+
+        start_chunk = jnp.where(tile_fits, ps, 0) // chunk
+        n_chunks = jnp.where(tile_fits, pc, 0) // chunk
+        return (gather_idx, keep,
+                start_chunk.reshape(n_rows, n_cols, 1),
+                n_chunks.reshape(n_rows, n_cols, 1))
+
+    return jax.vmap(plan_one)(bbox5)
+
+
+def _legacy_plan(batch, t_pad, chunk, n_rows, n_cols):
+    """A trivial plan routing every triangle to the legacy loop."""
+    return (jnp.full((batch, chunk), t_pad, jnp.int32),
+            jnp.zeros((batch, t_pad), bool),
+            jnp.zeros((batch, n_rows, n_cols, 1), jnp.int32),
+            jnp.zeros((batch, n_rows, n_cols, 1), jnp.int32))
+
+
+def _gathered_id_ranges(gather_idx, t_pad, chunk):
+    """Per-gathered-chunk [min, max] original-id ranges (bwd winner cull).
+
+    Dead slots contribute (INT32_MAX, -1) so fully-dead chunks never hit.
+    Shaped [B, 1, S // chunk] for the SMEM block layout.
+    """
+    batch, s = gather_idx.shape
+    g = gather_idx.reshape(batch, s // chunk, chunk)
+    valid = g < t_pad
+    idmin = jnp.min(jnp.where(valid, g, jnp.iinfo(jnp.int32).max), axis=-1)
+    idmax = jnp.max(jnp.where(valid, g, -1), axis=-1)
+    return idmin[:, None, :], idmax[:, None, :]
+
+
+def _build_tables(tri_data, attr_packed, plan, live_col=15):
+    """Assemble the two-section kernel table from a binning plan.
+
+    Section A ([:S] with S = plan's budget): gathered per-tile segments
+    (ONE take_along_axis carries data + id + attributes together). Section
+    B ([S:]): the original rows with liveness masked to the plan's
+    fallback triangles (~keep), walked by the legacy chunk-binned loop.
+
+    Returns [B, S + T_pad, W] with W = _ID_COL + 1 (bare) or
+    _ATTR_COL + attr width (fused).
+    """
+    gather_idx, keep, _, _ = plan
+    batch, t_pad, cols = tri_data.shape
+    iota = jnp.arange(t_pad, dtype=jnp.float32)
+    parts = [tri_data,
+             jnp.broadcast_to(iota[None, :, None], (batch, t_pad, 1))]
+    if attr_packed is not None:
+        parts.append(jnp.zeros((batch, t_pad, _ATTR_COL - cols - 1),
+                               jnp.float32))
+        parts.append(attr_packed)
+    base = jnp.concatenate(parts, axis=-1)
+    width = base.shape[-1]
+    # Sentinel row (index t_pad): dead (live 0), id -1.
+    sentinel = jnp.zeros((batch, 1, width), jnp.float32)
+    sentinel = sentinel.at[:, 0, _ID_COL].set(-1.0)
+    ext = jnp.concatenate([base, sentinel], axis=1)
+    dup = jnp.take_along_axis(ext, gather_idx[..., None], axis=1)
+    legacy = base.at[..., live_col].multiply(
+        1.0 - keep.astype(jnp.float32))
+    # Kept triangles' legacy rows are dead; also blank their ids, or the
+    # backward's purely id-based winner masks would re-count them when a
+    # legacy candidate chunk (binned for overflow neighbors) contains them.
+    legacy = legacy.at[..., _ID_COL].set(
+        jnp.where(keep, -1.0, legacy[..., _ID_COL]))
+    return jnp.concatenate([dup, legacy], axis=1)
 
 
 def _pack_triangle_data(clip_vertices, triangles, chunk):
@@ -266,13 +467,13 @@ def _bin_hits(bbox5, chunk, image_width, image_height, row_offset,
             (cmax_y[:, None, None, :] >= tmin_y[None, :, None, None]))
 
 
-def _rasterize_chunk_core(data, px, py, chunk, chunk_start):
+def _rasterize_chunk_core(data, px, py, chunk):
     """Shared per-chunk rasterization math (cpp:330-410 semantics).
 
     Args:
-      data: [chunk, 21] packed triangle rows.
+      data: [chunk, >= 22] packed triangle rows (cols 0.._COLS-1 +
+        original id at _ID_COL; wider fused blocks pass through).
       px, py: [TILE_H, TILE_W] pixel-center NDC coordinates.
-      chunk_start: triangle index of data row 0.
 
     Returns:
       (chunk_z [TH, TW], chunk_id [TH, TW] i32 — -1 where no triangle in
@@ -306,8 +507,11 @@ def _rasterize_chunk_core(data, px, py, chunk, chunk_start):
     z = num / jnp.where(den != 0.0, den, 1.0)
     valid = (inside & (col(15) > 0.0) & (z >= -1.0) & (z <= 1.0))
 
-    tri_ids = (chunk_start
-               + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0))
+    # Original triangle ids from the table (dead rows carry -1): winner
+    # selection is (min z, max id), so visit ORDER never matters — the
+    # gathered and legacy loops compose exactly, and ties reproduce the
+    # reference's later-triangle-overwrite rule on original ids.
+    tri_ids = data[:, _ID_COL].astype(jnp.int32).reshape(chunk, 1, 1)
     z_masked = jnp.where(valid, z, 2.0)
     chunk_z = jnp.min(z_masked, axis=0)  # [TH, TW]
     at_min = valid & (z_masked == chunk_z[None])
@@ -340,9 +544,9 @@ def _merge_better(chunk_z, chunk_id, best_z, best_id):
 # ---------------------------------------------------------------------------
 
 
-def _kernel(row_off_ref, count_ref, cand_ref, tri_ref, id_ref, b0_ref,
-            b1_ref, b2_ref, z_ref, *, image_width, image_height,
-            full_height, n_tri_padded):
+def _kernel(row_off_ref, a_start_ref, a_count_ref, b_count_ref, b_cand_ref,
+            tri_ref, id_ref, b0_ref, b1_ref, b2_ref, z_ref, *, image_width,
+            image_height, full_height, s_rows):
     # Grid: (batch, tile_row, tile_col). Batch is a kernel-level grid axis —
     # the whole mesh batch renders in ONE pallas_call (no vmap).
     ti = pl.program_id(1)
@@ -350,16 +554,11 @@ def _kernel(row_off_ref, count_ref, cand_ref, tri_ref, id_ref, b0_ref,
     px, py = _tile_pixel_coords(ti, tj, row_off_ref[0], image_width,
                                 full_height)
 
-    # Binned loop: only this tile's candidate chunks (prepass _bin_chunks).
-    count = count_ref[0, 0, tj, 0]
-
-    def chunk_body(i, carry):
-        c = cand_ref[0, 0, tj, i]
-        start = c * TRI_CHUNK
-        data = tri_ref[0, pl.ds(start, TRI_CHUNK), :]  # [C, 21]
+    def visit(row_start, carry):
+        data = tri_ref[0, pl.ds(row_start, TRI_CHUNK), :]  # [C, 22]
         best_z, best_id, best_we0, best_we1, best_we2 = carry
         chunk_z, chunk_id, w0, w1, w2 = _rasterize_chunk_core(
-            data, px, py, TRI_CHUNK, start)
+            data, px, py, TRI_CHUNK)
         better = _merge_better(chunk_z, chunk_id, best_z, best_id)
         best_z = jnp.where(better, chunk_z, best_z)
         best_id = jnp.where(better, chunk_id, best_id)
@@ -368,12 +567,24 @@ def _kernel(row_off_ref, count_ref, cand_ref, tri_ref, id_ref, b0_ref,
         best_we2 = jnp.where(better, jnp.sum(w2, axis=0), best_we2)
         return best_z, best_id, best_we0, best_we1, best_we2
 
+    # Loop A: this tile's own gathered segment (contiguous chunks).
+    a_start = a_start_ref[0, 0, tj, 0]
+
+    def a_body(i, carry):
+        return visit((a_start + i) * TRI_CHUNK, carry)
+
+    # Loop B: legacy chunk-binned candidates over the fallback section.
+    def b_body(i, carry):
+        c = b_cand_ref[0, 0, tj, i]
+        return visit(s_rows + c * TRI_CHUNK, carry)
+
     zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     init = (jnp.ones((TILE_H, TILE_W), jnp.float32),
             jnp.full((TILE_H, TILE_W), -1, jnp.int32),
             zeros, zeros, zeros)
+    carry = jax.lax.fori_loop(0, a_count_ref[0, 0, tj, 0], a_body, init)
     best_z, best_id, best_we0, best_we1, best_we2 = jax.lax.fori_loop(
-        0, count, chunk_body, init)
+        0, b_count_ref[0, 0, tj, 0], b_body, carry)
 
     b0, b1, b2, _ = _normalize_winner_edges(best_we0, best_we1, best_we2)
     id_ref[0] = jnp.maximum(best_id, 0)
@@ -402,15 +613,25 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 # triangle id — the same rule the kernel applies between chunks), so the
 # triangle dimension scales to HBM capacity instead of VMEM.
 MAX_PALLAS_TRIANGLES = 49152
+# Gathered binning roughly triples the VMEM-resident row count (the
+# duplicated per-tile section budgets 2x T_pad on top of the legacy
+# section), so its per-pass cap is lower; the multi-pass merge covers the
+# rest (measured FASTER than independent passes for the hard kernels).
+MAX_GATHERED_TRIANGLES = 12288
 
 
-def _triangle_slices(n_triangles):
-    """[(start, size)] pass slices of at most MAX_PALLAS_TRIANGLES."""
+def _max_pass_triangles(binning):
+    return (MAX_GATHERED_TRIANGLES if binning == "gathered"
+            else MAX_PALLAS_TRIANGLES)
+
+
+def _triangle_slices(n_triangles, max_triangles=MAX_PALLAS_TRIANGLES):
+    """[(start, size)] pass slices of at most max_triangles."""
     out = []
     start = 0
     while start < n_triangles:
-        out.append((start, min(MAX_PALLAS_TRIANGLES, n_triangles - start)))
-        start += MAX_PALLAS_TRIANGLES
+        out.append((start, min(max_triangles, n_triangles - start)))
+        start += max_triangles
     return out
 
 
@@ -449,15 +670,44 @@ def _bin_specs(n_cols, n_chunks):
     return count_spec, cand_spec
 
 
-def _forward_from_packed(tri_data, row_offset, image_width, image_height,
-                         full_height, interpret):
-    """Batched forward: tri_data [B, T_pad, 21] -> (ids, bc, z) per image."""
-    batch, n_tri_padded, _ = tri_data.shape
+def _prepare_tables(tri_data, attr_packed, chunk, image_width, image_height,
+                    row_offset, full_height, binning):
+    """Shared prepass: binning plan + two-section table + legacy candidates.
+
+    binning='gathered' routes triangles to per-tile gathered segments with
+    legacy fallback; 'chunk' routes everything to the legacy chunk-binned
+    loop (the pre-gather behavior, kept as a debugging/benchmark knob).
+    """
+    if binning not in ("gathered", "chunk"):
+        raise ValueError(
+            f"binning must be 'gathered' or 'chunk', got {binning!r}")
+    batch, t_pad, _ = tri_data.shape
+    n_rows = pl.cdiv(image_height, TILE_H)
+    n_cols = pl.cdiv(image_width, TILE_W)
+    if binning == "gathered":
+        budget = _gather_budget_rows(t_pad, n_rows * n_cols, chunk)
+        plan = _gather_plan(tri_data[:, :, 15:20], chunk, image_width,
+                            image_height, row_offset, full_height, budget)
+    else:
+        plan = _legacy_plan(batch, t_pad, chunk, n_rows, n_cols)
+    table = _build_tables(tri_data, attr_packed, plan)
+    s_rows = plan[0].shape[1]
+    candidates, counts = _bin_chunks(table[:, s_rows:], chunk, image_width,
+                                     image_height, row_offset, full_height)
+    return table, s_rows, plan, candidates, counts
+
+
+def _forward_from_packed(table, s_rows, plan, candidates, counts,
+                         row_offset, image_width, image_height, full_height,
+                         interpret):
+    """Batched forward: two-section table -> (ids, bc, z) per image."""
+    batch, total_rows, _ = table.shape
+    n_tri_padded = total_rows - s_rows
     grid = (batch, pl.cdiv(image_height, TILE_H),
             pl.cdiv(image_width, TILE_W))
     kernel = functools.partial(
         _kernel, image_width=image_width, image_height=image_height,
-        full_height=full_height, n_tri_padded=n_tri_padded)
+        full_height=full_height, s_rows=s_rows)
 
     out_shape = [
         jax.ShapeDtypeStruct((batch, image_height, image_width), jnp.int32),
@@ -466,12 +716,10 @@ def _forward_from_packed(tri_data, row_offset, image_width, image_height,
     tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
                              lambda b, i, j: (b, i, j),
                              memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec((1, n_tri_padded, _COLS),
+    tri_spec = pl.BlockSpec((1, total_rows, table.shape[-1]),
                             lambda b, i, j: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     row_off = jnp.asarray(row_offset, jnp.float32).reshape(1)
-    candidates, counts = _bin_chunks(tri_data, TRI_CHUNK, image_width,
-                                     image_height, row_offset, full_height)
     count_spec, cand_spec = _bin_specs(
         pl.cdiv(image_width, TILE_W), n_tri_padded // TRI_CHUNK)
 
@@ -480,15 +728,17 @@ def _forward_from_packed(tri_data, row_offset, image_width, image_height,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # row offset scalar
-            count_spec,
-            cand_spec,
+            count_spec,   # gathered segment starts
+            count_spec,   # gathered segment chunk counts
+            count_spec,   # legacy candidate counts
+            cand_spec,    # legacy candidate chunk ids
             tri_spec,
         ],
         out_specs=[tile_spec] * 5,
         out_shape=out_shape,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(row_off, counts, candidates, tri_data)
+    )(row_off, plan[2], plan[3], counts, candidates, table)
     bc = jnp.stack([b0, b1, b2], axis=-1)
     # Background contract: id 0, bc 0, z 1 (kernels' shared contract).
     return ids, bc, jnp.where(z > 1.0, 1.0, z)
@@ -528,7 +778,7 @@ def _bwd_tile_inputs(ti, tj, id_ref, b0_ref, b1_ref, b2_ref, g0_ref, g1_ref,
 
 
 def _bwd_chunk_core(data, mask, g0t, g1t, g2t, gb, bmat, chunk, n_pix,
-                    dcorner_ref, c, precision):
+                    dcorner_ref, row_start, precision):
     """Analytic vertex-gradient chain for one chunk (cpp:131-273).
 
     Pixels whose winning id matches a chunk triangle contribute
@@ -560,23 +810,25 @@ def _bwd_chunk_core(data, mask, g0t, g1t, g2t, gb, bmat, chunk, n_pix,
         preferred_element_type=jnp.float32,
         precision=precision)  # [3C, 3]
     for cc in range(3):
-        sl = (0, pl.ds(c * chunk, chunk), pl.ds(cc * 3, 3))
+        sl = (0, pl.ds(row_start, chunk), pl.ds(cc * 3, 3))
         dcorner_ref[sl] = (dcorner_ref[sl]
                            + red[cc * chunk:(cc + 1) * chunk])
 
 
-def _bwd_kernel(row_off_ref, count_ref, cand_ref, tri_ref, id_ref, b0_ref,
-                b1_ref, b2_ref, g0_ref, g1_ref, g2_ref, dcorner_ref, *,
-                image_width, image_height, full_height, n_tri_padded,
+def _bwd_kernel(row_off_ref, a_start_ref, a_count_ref, a_idmin_ref,
+                a_idmax_ref, b_count_ref, b_cand_ref, tri_ref, id_ref,
+                b0_ref, b1_ref, b2_ref, g0_ref, g1_ref, g2_ref, dcorner_ref,
+                *, image_width, image_height, full_height, s_rows,
                 precision):
-    """Analytic backward as a per-tile reduction to a [T_pad, 9] table.
+    """Analytic backward as a per-tile reduction to a row-gradient table.
 
     The per-(triangle, corner, coord) sums accumulate per batch element
     (revisited across this batch element's consecutive tile steps); the
-    host-side scatter into [V, 4] is then T-sized instead of
-    (H * W * 3)-sized. The loop visits only the tile's binned candidate
-    chunks, refined by the tile's winner-id range (chunks no pixel in the
-    tile references are skipped even when their bbox overlaps).
+    host side then segment-sums the gathered section back to original rows
+    and scatters [T, 9] -> [V, 4] (T-sized instead of (H * W * 3)-sized).
+    Both loops cull chunks by the tile's winner-id range: the gathered
+    segment via the prepass id-range arrays, the legacy candidates via
+    their position-derived range (section-B ids ARE row positions).
     """
     ti = pl.program_id(1)
     tj = pl.program_id(2)
@@ -594,26 +846,36 @@ def _bwd_kernel(row_off_ref, count_ref, cand_ref, tri_ref, id_ref, b0_ref,
     bmat = jnp.concatenate([b0.reshape(1, n_pix), b1.reshape(1, n_pix),
                             b2.reshape(1, n_pix)], axis=0)  # [3, P]
 
-    count = count_ref[0, 0, tj, 0]
-
-    def chunk_body(i, _):
-        c = cand_ref[0, 0, tj, i]
-        hit = ((c * BWD_TRI_CHUNK <= tile_id_max) &
-               ((c + 1) * BWD_TRI_CHUNK > tile_id_min))
-
-        def process(_):
-            data = tri_ref[0, pl.ds(c * BWD_TRI_CHUNK, BWD_TRI_CHUNK), :]
-            tid = (c * BWD_TRI_CHUNK + jax.lax.broadcasted_iota(
-                jnp.int32, (BWD_TRI_CHUNK, 1, 1), 0))
-            mask = ((ids[None] == tid) & active[None]).astype(jnp.float32)
-            _bwd_chunk_core(data, mask, g0, g1, g2, gb, bmat,
-                            BWD_TRI_CHUNK, n_pix, dcorner_ref, c, precision)
-            return 0
-
-        jax.lax.cond(hit, process, lambda _: 0, 0)
+    def visit(row_start, _):
+        data = tri_ref[0, pl.ds(row_start, BWD_TRI_CHUNK), :]
+        tid = data[:, _ID_COL].astype(jnp.int32).reshape(
+            BWD_TRI_CHUNK, 1, 1)
+        mask = ((ids[None] == tid) & active[None]).astype(jnp.float32)
+        _bwd_chunk_core(data, mask, g0, g1, g2, gb, bmat, BWD_TRI_CHUNK,
+                        n_pix, dcorner_ref, row_start, precision)
         return 0
 
-    jax.lax.fori_loop(0, count, chunk_body, 0)
+    a_start = a_start_ref[0, 0, tj, 0]
+
+    def a_body(i, _):
+        c = a_start + i
+        hit = ((a_idmin_ref[0, 0, c] <= tile_id_max) &
+               (a_idmax_ref[0, 0, c] >= tile_id_min))
+        jax.lax.cond(hit, functools.partial(visit, c * BWD_TRI_CHUNK),
+                     lambda _: 0, 0)
+        return 0
+
+    def b_body(i, _):
+        c = b_cand_ref[0, 0, tj, i]
+        hit = ((c * BWD_TRI_CHUNK <= tile_id_max) &
+               ((c + 1) * BWD_TRI_CHUNK > tile_id_min))
+        jax.lax.cond(hit,
+                     functools.partial(visit, s_rows + c * BWD_TRI_CHUNK),
+                     lambda _: 0, 0)
+        return 0
+
+    jax.lax.fori_loop(0, a_count_ref[0, 0, tj, 0], a_body, 0)
+    jax.lax.fori_loop(0, b_count_ref[0, 0, tj, 0], b_body, 0)
 
 
 def _scatter_corner_grads(dcorner, triangles, batch, vertex_count):
@@ -631,76 +893,113 @@ def _scatter_corner_grads(dcorner, triangles, batch, vertex_count):
     return df_dvertices
 
 
-def _backward_pallas(tri_data, triangles, vertex_count, ids, bc, df_dbc,
-                     row_offset, image_width, image_height, full_height,
-                     interpret, dot_precision):
+def _segment_sum_gathered(dtab, s_rows, gather_idx):
+    """Fold a two-section row-gradient table back onto original rows.
+
+    dtab [B, S + T_pad, W]: gathered-section rows are summed per source
+    triangle (dead slots carry exact zeros and route to the dropped
+    t_pad segment) and added to the legacy section's direct rows.
+    """
+    t_pad = dtab.shape[1] - s_rows
+    d_a, d_b = dtab[:, :s_rows], dtab[:, s_rows:]
+    seg = jax.vmap(
+        lambda d, g: jax.ops.segment_sum(d, g, num_segments=t_pad + 1)
+    )(d_a, gather_idx)[:, :t_pad]
+    return seg + d_b
+
+
+def _backward_pallas(table, plan, candidates, counts, triangles,
+                     vertex_count, ids, bc, df_dbc, row_offset, image_width,
+                     image_height, full_height, interpret, dot_precision):
     """Batched backward: [B, ...] residuals -> df/d(clip vertices) [B, V, 4].
     """
-    batch, n_tri_padded, _ = tri_data.shape
+    assert BWD_TRI_CHUNK == TRI_CHUNK  # gathered segments are chunk-aligned
+    batch, total_rows, width = table.shape
+    s_rows = plan[0].shape[1]
+    n_tri_padded = total_rows - s_rows
     grid = (batch, pl.cdiv(image_height, TILE_H),
             pl.cdiv(image_width, TILE_W))
     kernel = functools.partial(
         _bwd_kernel, image_width=image_width, image_height=image_height,
-        full_height=full_height, n_tri_padded=n_tri_padded,
+        full_height=full_height, s_rows=s_rows,
         precision=_resolve_precision(dot_precision))
     tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
                              lambda b, i, j: (b, i, j),
                              memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec((1, n_tri_padded, _COLS),
+    tri_spec = pl.BlockSpec((1, total_rows, width),
                             lambda b, i, j: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    acc_spec = pl.BlockSpec((1, n_tri_padded, 9),
+    acc_spec = pl.BlockSpec((1, total_rows, 9),
                             lambda b, i, j: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     row_off = jnp.asarray(row_offset, jnp.float32).reshape(1)
-    candidates, counts = _bin_chunks(tri_data, BWD_TRI_CHUNK, image_width,
-                                     image_height, row_offset, full_height)
+    idmin, idmax = _gathered_id_ranges(plan[0], n_tri_padded, BWD_TRI_CHUNK)
+    idrange_spec = pl.BlockSpec((1, 1, idmin.shape[-1]),
+                                lambda b, i, j: (b, 0, 0),
+                                memory_space=pltpu.SMEM)
     count_spec, cand_spec = _bin_specs(
         pl.cdiv(image_width, TILE_W), n_tri_padded // BWD_TRI_CHUNK)
-    dcorner = pl.pallas_call(
+    dtab = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            count_spec,
-            cand_spec,
+            count_spec,      # gathered segment starts
+            count_spec,      # gathered segment chunk counts
+            idrange_spec,    # gathered chunk id minima
+            idrange_spec,    # gathered chunk id maxima
+            count_spec,      # legacy candidate counts
+            cand_spec,       # legacy candidate chunk ids
             tri_spec,
         ] + [tile_spec] * 7,
         out_specs=[acc_spec],
-        out_shape=[jax.ShapeDtypeStruct((batch, n_tri_padded, 9),
+        out_shape=[jax.ShapeDtypeStruct((batch, total_rows, 9),
                                         jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(row_off, counts, candidates, tri_data, ids, bc[..., 0], bc[..., 1],
-      bc[..., 2], df_dbc[..., 0], df_dbc[..., 1], df_dbc[..., 2])[0]
+    )(row_off, plan[2], plan[3], idmin, idmax, counts, candidates, table,
+      ids, bc[..., 0], bc[..., 1], bc[..., 2], df_dbc[..., 0],
+      df_dbc[..., 1], df_dbc[..., 2])[0]
+    dcorner = _segment_sum_gathered(dtab, s_rows, plan[0])
     return _scatter_corner_grads(dcorner, triangles, batch, vertex_count)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _pallas_core(clip_vertices, triangles, row_offset, image_width,
-                 image_height, full_height, interpret, dot_precision):
-    tri_data = _pack_batched(clip_vertices, triangles, TRI_CHUNK)
-    return _forward_from_packed(tri_data, row_offset, image_width,
-                                image_height, full_height, interpret)
+                 image_height, full_height, interpret, dot_precision,
+                 binning):
+    out, _ = _fwd(clip_vertices, triangles, row_offset, image_width,
+                  image_height, full_height, interpret, dot_precision,
+                  binning)
+    return out
 
 
 def _fwd(clip_vertices, triangles, row_offset, image_width, image_height,
-         full_height, interpret, dot_precision):
+         full_height, interpret, dot_precision, binning):
     tri_data = _pack_batched(clip_vertices, triangles, TRI_CHUNK)
-    out = _forward_from_packed(tri_data, row_offset, image_width,
-                               image_height, full_height, interpret)
+    table, s_rows, plan, candidates, counts = _prepare_tables(
+        tri_data, None, TRI_CHUNK, image_width, image_height, row_offset,
+        full_height, binning)
+    out = _forward_from_packed(table, s_rows, plan, candidates, counts,
+                               row_offset, image_width, image_height,
+                               full_height, interpret)
     ids, bc, _ = out
-    return out, (jax.lax.stop_gradient(tri_data), triangles,
-                 clip_vertices.shape[1], ids, bc, row_offset)
+    residuals = (jax.lax.stop_gradient(table),
+                 jax.tree_util.tree_map(jax.lax.stop_gradient, plan),
+                 candidates, counts, triangles, clip_vertices.shape[1],
+                 ids, bc, row_offset)
+    return out, residuals
 
 
 def _bwd(image_width, image_height, full_height, interpret, dot_precision,
-         residuals, cotangents):
-    tri_data, triangles, vertex_count, ids, bc, row_offset = residuals
+         binning, residuals, cotangents):
+    (table, plan, candidates, counts, triangles, vertex_count, ids, bc,
+     row_offset) = residuals
     _, df_dbc, _ = cotangents
     df_dvertices = _backward_pallas(
-        tri_data, triangles, vertex_count, ids, bc, df_dbc, row_offset,
-        image_width, image_height, full_height, interpret, dot_precision)
+        table, plan, candidates, counts, triangles, vertex_count, ids, bc,
+        df_dbc, row_offset, image_width, image_height, full_height,
+        interpret, dot_precision)
     tri_cot = np.zeros(np.shape(triangles), dtype=jax.dtypes.float0)
     row_cot = np.zeros((), dtype=jax.dtypes.float0)
     return df_dvertices, tri_cot, row_cot
@@ -722,15 +1021,18 @@ def rasterize_barycentric_pallas_batched(clip_vertices, triangles,
                                          image_width, image_height,
                                          row_offset=None, full_height=None,
                                          interpret=None,
-                                         dot_precision="default"):
+                                         dot_precision="default",
+                                         binning="gathered"):
     """Differentiable tiled-Pallas hard rasterization of a mesh batch.
 
     clip_vertices is [batch, V, 4]; returns (ids [B, H, W] i32,
     barycentrics [B, H, W, 3] f32, z [B, H, W] f32). The whole batch runs in
     one pallas_call with batch as the leading grid dimension (do NOT vmap
-    over this function — batching is native). Meshes beyond
-    MAX_PALLAS_TRIANGLES render in multiple depth-merged passes, so the
-    triangle dimension scales to HBM capacity.
+    over this function — batching is native). Meshes beyond the per-pass
+    cap render in multiple depth-merged passes, so the triangle dimension
+    scales to HBM capacity. `binning` selects triangle-granularity
+    'gathered' tile lists (default; bit-identical, tighter culling) or the
+    'chunk'-granularity legacy prepass.
     """
     if full_height is None:
         full_height = image_height
@@ -744,9 +1046,10 @@ def rasterize_barycentric_pallas_batched(clip_vertices, triangles,
     def one_pass(tri_slice):
         return _pallas_core(clip_vertices, tri_slice, row_off,
                             int(image_width), int(image_height),
-                            int(full_height), interp, dot_precision)
+                            int(full_height), interp, dot_precision,
+                            binning)
 
-    slices = _triangle_slices(tris.shape[0])
+    slices = _triangle_slices(tris.shape[0], _max_pass_triangles(binning))
     if len(slices) <= 1:  # includes the zero-triangle mesh (empty slices)
         return one_pass(tris)
     ids0, bc0, z0 = one_pass(tris[slices[0][0]:slices[0][0] + slices[0][1]])
@@ -762,7 +1065,8 @@ def rasterize_barycentric_pallas_batched(clip_vertices, triangles,
 def rasterize_barycentric_pallas(clip_vertices, triangles, image_width,
                                  image_height, row_offset=None,
                                  full_height=None, interpret=None,
-                                 dot_precision="default"):
+                                 dot_precision="default",
+                                 binning="gathered"):
     """Single-mesh wrapper over the batched Pallas rasterizer.
 
     Same contract as rasterize_xla.rasterize_barycentric_xla (ids /
@@ -773,7 +1077,7 @@ def rasterize_barycentric_pallas(clip_vertices, triangles, image_width,
     ids, bc, z = rasterize_barycentric_pallas_batched(
         clip_vertices[None], triangles, image_width, image_height,
         row_offset=row_offset, full_height=full_height, interpret=interpret,
-        dot_precision=dot_precision)
+        dot_precision=dot_precision, binning=binning)
     return ids[0], bc[0], z[0]
 
 
@@ -865,30 +1169,31 @@ def _pack_corner_attributes(attributes, triangles, a_pad, n_tri_padded):
     return corner.reshape(batch, n_tri_padded, 3 * a_pad)
 
 
-def _kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
-                  id_ref, b0_ref, b1_ref, b2_ref, *rest, image_width,
-                  image_height, full_height, n_tri_padded, a_pad, chunk,
-                  with_z, precision):
+def _kernel_fused(row_off_ref, a_start_ref, a_count_ref, b_count_ref,
+                  b_cand_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
+                  *rest, image_width, image_height, full_height, s_rows,
+                  a_pad, chunk, with_z, precision):
     if with_z:
         z_ref, attr_ref = rest
     else:
         (attr_ref,) = rest
-    _kernel_fused_body(row_off_ref, count_ref, cand_ref, tri_ref,
-                       attr_in_ref, id_ref, b0_ref, b1_ref, b2_ref,
+    _kernel_fused_body(row_off_ref, a_start_ref, a_count_ref, b_count_ref,
+                       b_cand_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
                        z_ref if with_z else None, attr_ref,
                        image_width=image_width, image_height=image_height,
-                       full_height=full_height, n_tri_padded=n_tri_padded,
+                       full_height=full_height, s_rows=s_rows,
                        a_pad=a_pad, chunk=chunk, precision=precision)
 
 
-def _kernel_fused_body(row_off_ref, count_ref, cand_ref, tri_ref,
-                       attr_in_ref, id_ref, b0_ref, b1_ref, b2_ref, z_ref,
-                       attr_ref, *, image_width, image_height, full_height,
-                       n_tri_padded, a_pad, chunk, precision):
+def _kernel_fused_body(row_off_ref, a_start_ref, a_count_ref, b_count_ref,
+                       b_cand_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
+                       z_ref, attr_ref, *, image_width, image_height,
+                       full_height, s_rows, a_pad, chunk, precision):
     """Forward tile kernel with in-tile attribute interpolation.
 
-    Same binned rasterization loop as _kernel plus a flat [a_pad, P]
-    attribute carry: each chunk's winning triangles contribute
+    Same two binned loops as _kernel (gathered segment + legacy fallback,
+    sharing one combined data+attr table) plus a flat [a_pad, P] attribute
+    carry: each chunk's winning triangles contribute
     sum_k (winner * b_k) @ corner_attrs_k via MXU matmuls, and the carry
     keeps the value from whichever chunk currently wins the z-test. The
     z-buffer lives only in the carry (no HBM output — the fused contract
@@ -899,25 +1204,22 @@ def _kernel_fused_body(row_off_ref, count_ref, cand_ref, tri_ref,
     n_pix = TILE_H * TILE_W
     px, py = _tile_pixel_coords(ti, tj, row_off_ref[0], image_width,
                                 full_height)
-    count = count_ref[0, 0, tj, 0]
 
-    def chunk_body(i, carry):
-        c = cand_ref[0, 0, tj, i]
-        start = c * chunk
-        data = tri_ref[0, pl.ds(start, chunk), :]  # [C, 21]
+    def visit(row_start, carry):
+        blk = tri_ref[0, pl.ds(row_start, chunk), :]  # [C, _ATTR_COL + 3A]
         best_z, best_id, best_we0, best_we1, best_we2, best_attr = carry
         chunk_z, chunk_id, w0, w1, w2 = _rasterize_chunk_core(
-            data, px, py, chunk, start)
+            blk, px, py, chunk)
 
-        ablk = attr_in_ref[0, pl.ds(start, chunk), :]
         # Three corner dots, not one grouped [A, 3C] x [3C, P] dot: Mosaic
-        # cannot concatenate the lane-offset corner slices of ablk along
-        # the sublane dim ("result/input offset mismatch on non-concat
-        # dimension"), and the measured cost of the extra dot launches is
-        # inside run-to-run noise.
+        # cannot concatenate the lane-offset corner slices of the block
+        # along the sublane dim ("result/input offset mismatch on
+        # non-concat dimension"), and the measured cost of the extra dot
+        # launches is inside run-to-run noise.
         chunk_attr = jnp.zeros((a_pad, n_pix), jnp.float32)
         for k, wk in enumerate((w0, w1, w2)):
-            ak = ablk[:, k * a_pad:(k + 1) * a_pad]  # [C, A]
+            ak = blk[:, _ATTR_COL + k * a_pad:
+                     _ATTR_COL + (k + 1) * a_pad]  # [C, A]
             chunk_attr = chunk_attr + jax.lax.dot_general(
                 ak, wk.reshape(chunk, n_pix),
                 (((0,), (0,)), ((), ())),
@@ -935,13 +1237,23 @@ def _kernel_fused_body(row_off_ref, count_ref, cand_ref, tri_ref,
         best_attr = jnp.where(betterf, chunk_attr, best_attr)
         return (best_z, best_id, best_we0, best_we1, best_we2, best_attr)
 
+    a_start = a_start_ref[0, 0, tj, 0]
+
+    def a_body(i, carry):
+        return visit((a_start + i) * chunk, carry)
+
+    def b_body(i, carry):
+        return visit(s_rows + b_cand_ref[0, 0, tj, i] * chunk, carry)
+
     zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     init = (jnp.ones((TILE_H, TILE_W), jnp.float32),
             jnp.full((TILE_H, TILE_W), -1, jnp.int32),
             zeros, zeros, zeros,
             jnp.zeros((a_pad, n_pix), jnp.float32))
+    carry = jax.lax.fori_loop(0, a_count_ref[0, 0, tj, 0], a_body, init)
     (best_z, best_id, best_we0, best_we1, best_we2,
-     best_attr) = jax.lax.fori_loop(0, count, chunk_body, init)
+     best_attr) = jax.lax.fori_loop(0, b_count_ref[0, 0, tj, 0], b_body,
+                                    carry)
 
     # Deferred normalization: bc from the winner edges (bit-identical, see
     # _rasterize_chunk_core), attrs rescaled by the same reciprocal (the
@@ -960,23 +1272,22 @@ def _kernel_fused_body(row_off_ref, count_ref, cand_ref, tri_ref,
         a_pad, TILE_H, TILE_W)
 
 
-def _forward_fused(tri_data, attr_packed, row_offset, image_width,
-                   image_height, full_height, interpret, chunk,
-                   dot_precision, with_z=False):
+def _forward_fused(table, s_rows, plan, candidates, counts, a_pad,
+                   row_offset, image_width, image_height, full_height,
+                   interpret, chunk, dot_precision, with_z=False):
     """Fused forward: -> (ids, bc, z-or-None, attrs [B, a_pad, H, W]).
 
     The z image is materialized to HBM only when `with_z` (the multi-pass
     depth merge is its sole consumer; single-pass callers skip the extra
     B*H*W*4-byte write).
     """
-    batch, n_tri_padded, _ = tri_data.shape
-    a3 = attr_packed.shape[-1]
-    a_pad = a3 // 3
+    batch, total_rows, width = table.shape
+    n_tri_padded = total_rows - s_rows
     grid = (batch, pl.cdiv(image_height, TILE_H),
             pl.cdiv(image_width, TILE_W))
     kernel = functools.partial(
         _kernel_fused, image_width=image_width, image_height=image_height,
-        full_height=full_height, n_tri_padded=n_tri_padded, a_pad=a_pad,
+        full_height=full_height, s_rows=s_rows, a_pad=a_pad,
         chunk=chunk, with_z=with_z,
         precision=_resolve_precision(dot_precision))
 
@@ -991,18 +1302,13 @@ def _forward_fused(tri_data, attr_packed, row_offset, image_width,
     tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
                              lambda b, i, j: (b, i, j),
                              memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec((1, n_tri_padded, _COLS),
+    tri_spec = pl.BlockSpec((1, total_rows, width),
                             lambda b, i, j: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    attr_in_spec = pl.BlockSpec((1, n_tri_padded, a3),
-                                lambda b, i, j: (b, 0, 0),
-                                memory_space=pltpu.VMEM)
     attr_out_spec = pl.BlockSpec((1, a_pad, TILE_H, TILE_W),
                                  lambda b, i, j: (b, 0, i, j),
                                  memory_space=pltpu.VMEM)
     row_off = jnp.asarray(row_offset, jnp.float32).reshape(1)
-    candidates, counts = _bin_chunks(tri_data, chunk, image_width,
-                                     image_height, row_offset, full_height)
     count_spec, cand_spec = _bin_specs(
         pl.cdiv(image_width, TILE_W), n_tri_padded // chunk)
 
@@ -1011,16 +1317,17 @@ def _forward_fused(tri_data, attr_packed, row_offset, image_width,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            count_spec,
-            cand_spec,
+            count_spec,   # gathered segment starts
+            count_spec,   # gathered segment chunk counts
+            count_spec,   # legacy candidate counts
+            cand_spec,    # legacy candidate chunk ids
             tri_spec,
-            attr_in_spec,
         ],
         out_specs=[tile_spec] * (1 + n_f32_images) + [attr_out_spec],
         out_shape=out_shape,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(row_off, counts, candidates, tri_data, attr_packed)
+    )(row_off, plan[2], plan[3], counts, candidates, table)
     if with_z:
         ids, b0, b1, b2, z, attrs = outs
     else:
@@ -1030,18 +1337,21 @@ def _forward_fused(tri_data, attr_packed, row_offset, image_width,
     return ids, bc, z, attrs
 
 
-def _bwd_kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
-                      id_ref, b0_ref, b1_ref, b2_ref, g0_ref, g1_ref, g2_ref,
-                      gattr_ref, dcorner_ref, dattr_ref, *, image_width,
-                      image_height, full_height, n_tri_padded, a_pad,
-                      chunk, precision):
-    """Fused backward: vertex-gradient table + attribute-gradient table.
+def _bwd_kernel_fused(row_off_ref, a_start_ref, a_count_ref, a_idmin_ref,
+                      a_idmax_ref, b_count_ref, b_cand_ref, tri_ref,
+                      id_ref, b0_ref, b1_ref, b2_ref, g0_ref, g1_ref,
+                      g2_ref, gattr_ref, dtab_ref, *, image_width,
+                      image_height, full_height, s_rows, a_pad, chunk,
+                      precision):
+    """Fused backward: combined vertex+attribute row-gradient table.
 
     Extends _bwd_kernel's analytic chain with the interpolation VJP: the
     per-pixel barycentric cotangent picks up sum_a gattr[a] * attr_k[t, a]
     (computed per chunk as [C, A] @ [A, P] matmuls, selected by the winner
     mask), and the per-triangle attribute gradient accumulates
-    (mask * b_k) @ gattr^T into a [T_pad, 3*a_pad] table.
+    (mask * b_k) @ gattr^T. Vertex gradients land in output columns 0..8,
+    attribute gradients from _OUT_ATTR_COL — one combined table so the
+    VMEM lane padding (everything pads to 128 lanes) is paid once.
     """
     ti = pl.program_id(1)
     tj = pl.program_id(2)
@@ -1049,8 +1359,7 @@ def _bwd_kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
 
     @pl.when((ti == 0) & (tj == 0))
     def _init():
-        dcorner_ref[:] = jnp.zeros_like(dcorner_ref)
-        dattr_ref[:] = jnp.zeros_like(dattr_ref)
+        dtab_ref[:] = jnp.zeros_like(dtab_ref)
 
     (pix_ok, ids, b0, b1, b2, g0, g1, g2, active, tile_id_min,
      tile_id_max) = _bwd_tile_inputs(
@@ -1063,181 +1372,197 @@ def _bwd_kernel_fused(row_off_ref, count_ref, cand_ref, tri_ref, attr_in_ref,
     b2f = b2.reshape(1, n_pix)
     bmat = jnp.concatenate([b0f, b1f, b2f], axis=0)  # [3, P]
 
-    count = count_ref[0, 0, tj, 0]
+    def visit(row_start, _):
+        blk = tri_ref[0, pl.ds(row_start, chunk), :]
+        tid = blk[:, _ID_COL].astype(jnp.int32).reshape(chunk, 1, 1)
+        mask = ((ids[None] == tid) & active[None]).astype(jnp.float32)
+        maskf = mask.reshape(chunk, n_pix)
 
-    def chunk_body(i, _):
-        c = cand_ref[0, 0, tj, i]
-        hit = ((c * chunk <= tile_id_max) & ((c + 1) * chunk > tile_id_min))
-
-        def process(_):
-            data = tri_ref[0, pl.ds(c * chunk, chunk), :]
-            ablk = attr_in_ref[0, pl.ds(c * chunk, chunk), :]
-            tid = (c * chunk + jax.lax.broadcasted_iota(
-                jnp.int32, (chunk, 1, 1), 0))
-            mask = ((ids[None] == tid) & active[None]).astype(jnp.float32)
-            maskf = mask.reshape(chunk, n_pix)
-
-            # Interpolation contribution to the barycentric cotangents:
-            # dbc_k(p) = sum_a gattr(a, p) * attr_k[winner(p), a].
-            # (Per-corner dots: Mosaic cannot concat the lane-offset
-            # corner slices of ablk into one [3C, A] operand.)
-            dbc = []
-            for k in range(3):
-                ak = ablk[:, k * a_pad:(k + 1) * a_pad]  # [C, A]
-                proj = jax.lax.dot_general(
-                    ak, gattrf, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision)  # [C, P]
-                proj = proj.reshape(chunk, TILE_H, TILE_W)
-                dbc.append(jnp.sum(mask * proj, axis=0))
-            g0t = g0 + dbc[0]
-            g1t = g1 + dbc[1]
-            g2t = g2 + dbc[2]
-            gb = g0t * b0 + g1t * b1 + g2t * b2
-            _bwd_chunk_core(data, mask, g0t, g1t, g2t, gb, bmat, chunk,
-                            n_pix, dcorner_ref, c, precision)
-
-            # Attribute gradients: dattr_k[t, a] = sum_p mask*b_k * gattr —
-            # one [3C, P] x [P, A] dot for all three corners.
-            mb_all = jnp.concatenate(
-                [maskf * bkf for bkf in (b0f, b1f, b2f)], axis=0)
-            part_all = jax.lax.dot_general(
-                mb_all, gattrf, (((1,), (1,)), ((), ())),
+        # Interpolation contribution to the barycentric cotangents:
+        # dbc_k(p) = sum_a gattr(a, p) * attr_k[winner(p), a].
+        # (Per-corner dots: Mosaic cannot concat the lane-offset
+        # corner slices of the block into one [3C, A] operand.)
+        dbc = []
+        for k in range(3):
+            ak = blk[:, _ATTR_COL + k * a_pad:
+                     _ATTR_COL + (k + 1) * a_pad]  # [C, A]
+            proj = jax.lax.dot_general(
+                ak, gattrf, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=precision)  # [3C, A]
-            for k in range(3):
-                sl = (0, pl.ds(c * chunk, chunk), pl.ds(k * a_pad, a_pad))
-                dattr_ref[sl] = (dattr_ref[sl]
-                                 + part_all[k * chunk:(k + 1) * chunk])
-            return 0
+                precision=precision)  # [C, P]
+            proj = proj.reshape(chunk, TILE_H, TILE_W)
+            dbc.append(jnp.sum(mask * proj, axis=0))
+        g0t = g0 + dbc[0]
+        g1t = g1 + dbc[1]
+        g2t = g2 + dbc[2]
+        gb = g0t * b0 + g1t * b1 + g2t * b2
+        _bwd_chunk_core(blk, mask, g0t, g1t, g2t, gb, bmat, chunk,
+                        n_pix, dtab_ref, row_start, precision)
 
-        jax.lax.cond(hit, process, lambda _: 0, 0)
+        # Attribute gradients: dattr_k[t, a] = sum_p mask*b_k * gattr —
+        # one [3C, P] x [P, A] dot for all three corners.
+        mb_all = jnp.concatenate(
+            [maskf * bkf for bkf in (b0f, b1f, b2f)], axis=0)
+        part_all = jax.lax.dot_general(
+            mb_all, gattrf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)  # [3C, A]
+        for k in range(3):
+            sl = (0, pl.ds(row_start, chunk),
+                  pl.ds(_OUT_ATTR_COL + k * a_pad, a_pad))
+            dtab_ref[sl] = (dtab_ref[sl]
+                            + part_all[k * chunk:(k + 1) * chunk])
         return 0
 
-    jax.lax.fori_loop(0, count, chunk_body, 0)
+    a_start = a_start_ref[0, 0, tj, 0]
+
+    def a_body(i, _):
+        c = a_start + i
+        hit = ((a_idmin_ref[0, 0, c] <= tile_id_max) &
+               (a_idmax_ref[0, 0, c] >= tile_id_min))
+        jax.lax.cond(hit, functools.partial(visit, c * chunk),
+                     lambda _: 0, 0)
+        return 0
+
+    def b_body(i, _):
+        c = b_cand_ref[0, 0, tj, i]
+        hit = ((c * chunk <= tile_id_max) & ((c + 1) * chunk > tile_id_min))
+        jax.lax.cond(hit, functools.partial(visit, s_rows + c * chunk),
+                     lambda _: 0, 0)
+        return 0
+
+    jax.lax.fori_loop(0, a_count_ref[0, 0, tj, 0], a_body, 0)
+    jax.lax.fori_loop(0, b_count_ref[0, 0, tj, 0], b_body, 0)
 
 
-def _backward_fused(tri_data, attr_packed, triangles, vertex_count,
-                    attribute_count, ids, bc, df_dbc, df_dattr, row_offset,
-                    image_width, image_height, full_height, interpret,
-                    dot_precision):
+def _backward_fused(table, plan, candidates, counts, triangles,
+                    vertex_count, attribute_count, ids, bc, df_dbc,
+                    df_dattr, row_offset, image_width, image_height,
+                    full_height, interpret, dot_precision):
     """-> (df/d clip_vertices [B, V, 4], df/d attributes [B, V, A])."""
-    batch, n_tri_padded, _ = tri_data.shape
-    a3 = attr_packed.shape[-1]
-    a_pad = a3 // 3
+    batch, total_rows, width = table.shape
+    s_rows = plan[0].shape[1]
+    n_tri_padded = total_rows - s_rows
+    a_pad = (width - _ATTR_COL) // 3
+    out_width = _OUT_ATTR_COL + 3 * a_pad
     grid = (batch, pl.cdiv(image_height, TILE_H),
             pl.cdiv(image_width, TILE_W))
     chunk = _fused_chunk_for(np.shape(triangles)[-2])
     kernel = functools.partial(
         _bwd_kernel_fused, image_width=image_width,
         image_height=image_height, full_height=full_height,
-        n_tri_padded=n_tri_padded, a_pad=a_pad, chunk=chunk,
+        s_rows=s_rows, a_pad=a_pad, chunk=chunk,
         precision=_resolve_precision(dot_precision))
     tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
                              lambda b, i, j: (b, i, j),
                              memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec((1, n_tri_padded, _COLS),
+    tri_spec = pl.BlockSpec((1, total_rows, width),
                             lambda b, i, j: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    attr_in_spec = pl.BlockSpec((1, n_tri_padded, a3),
-                                lambda b, i, j: (b, 0, 0),
-                                memory_space=pltpu.VMEM)
     gattr_spec = pl.BlockSpec((1, a_pad, TILE_H, TILE_W),
                               lambda b, i, j: (b, 0, i, j),
                               memory_space=pltpu.VMEM)
-    acc_spec = pl.BlockSpec((1, n_tri_padded, 9),
-                            lambda b, i, j: (b, 0, 0),
-                            memory_space=pltpu.VMEM)
-    dattr_spec = pl.BlockSpec((1, n_tri_padded, a3),
-                              lambda b, i, j: (b, 0, 0),
-                              memory_space=pltpu.VMEM)
+    dtab_spec = pl.BlockSpec((1, total_rows, out_width),
+                             lambda b, i, j: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
     row_off = jnp.asarray(row_offset, jnp.float32).reshape(1)
 
     # Attribute cotangents: [B, H, W, A] -> padded [B, a_pad, H, W].
     gattr = jnp.moveaxis(df_dattr, -1, 1)
     gattr = jnp.pad(gattr,
                     [(0, 0), (0, a_pad - gattr.shape[1]), (0, 0), (0, 0)])
-    candidates, counts = _bin_chunks(
-        tri_data, chunk, image_width, image_height, row_offset, full_height)
+    idmin, idmax = _gathered_id_ranges(plan[0], n_tri_padded, chunk)
+    idrange_spec = pl.BlockSpec((1, 1, idmin.shape[-1]),
+                                lambda b, i, j: (b, 0, 0),
+                                memory_space=pltpu.SMEM)
     count_spec, cand_spec = _bin_specs(
         pl.cdiv(image_width, TILE_W), n_tri_padded // chunk)
 
-    dcorner, dattr_tab = pl.pallas_call(
+    dtab = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            count_spec,
-            cand_spec,
+            count_spec,      # gathered segment starts
+            count_spec,      # gathered segment chunk counts
+            idrange_spec,    # gathered chunk id minima
+            idrange_spec,    # gathered chunk id maxima
+            count_spec,      # legacy candidate counts
+            cand_spec,       # legacy candidate chunk ids
             tri_spec,
-            attr_in_spec,
         ] + [tile_spec] * 7 + [gattr_spec],
-        out_specs=[acc_spec, dattr_spec],
+        out_specs=[dtab_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((batch, n_tri_padded, 9), jnp.float32),
-            jax.ShapeDtypeStruct((batch, n_tri_padded, a3), jnp.float32),
+            jax.ShapeDtypeStruct((batch, total_rows, out_width),
+                                 jnp.float32),
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(row_off, counts, candidates, tri_data, attr_packed, ids, bc[..., 0],
-      bc[..., 1], bc[..., 2], df_dbc[..., 0], df_dbc[..., 1],
-      df_dbc[..., 2], gattr)
+    )(row_off, plan[2], plan[3], idmin, idmax, counts, candidates, table,
+      ids, bc[..., 0], bc[..., 1], bc[..., 2], df_dbc[..., 0],
+      df_dbc[..., 1], df_dbc[..., 2], gattr)[0]
 
-    df_dvertices = _scatter_corner_grads(dcorner, triangles, batch,
+    dtotal = _segment_sum_gathered(dtab, s_rows, plan[0])
+    df_dvertices = _scatter_corner_grads(dtotal[..., :9], triangles, batch,
                                          vertex_count)
     tris = jnp.asarray(triangles, jnp.int32)
     n_tri = tris.shape[-2]
     df_dattributes = jnp.zeros([batch, vertex_count, attribute_count],
                                jnp.float32)
     for k in range(3):
-        attr_updates = dattr_tab[:, :n_tri,
-                                 k * a_pad:k * a_pad + attribute_count]
+        col0 = _OUT_ATTR_COL + k * a_pad
+        attr_updates = dtotal[:, :n_tri, col0:col0 + attribute_count]
         df_dattributes = df_dattributes.at[:, tris[:, k]].add(attr_updates)
     return df_dvertices, df_dattributes
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _pallas_interp_core(clip_vertices, attributes, triangles, row_offset,
                         image_width, image_height, full_height, interpret,
-                        with_z, dot_precision):
+                        with_z, dot_precision, binning):
     out, _ = _interp_fwd(clip_vertices, attributes, triangles, row_offset,
                          image_width, image_height, full_height, interpret,
-                         with_z, dot_precision)
+                         with_z, dot_precision, binning)
     return out
 
 
 def _interp_fwd(clip_vertices, attributes, triangles, row_offset,
                 image_width, image_height, full_height, interpret, with_z,
-                dot_precision):
+                dot_precision, binning):
     chunk = _fused_chunk_for(np.shape(triangles)[-2])
     tri_data = _pack_batched(clip_vertices, triangles, chunk)
     a = attributes.shape[-1]
     a_pad = _pad_attr_count(a)
     attr_packed = _pack_corner_attributes(attributes, triangles, a_pad,
                                           tri_data.shape[1])
+    table, s_rows, plan, candidates, counts = _prepare_tables(
+        tri_data, attr_packed, chunk, image_width, image_height,
+        row_offset, full_height, binning)
     ids, bc, z, attrs = _forward_fused(
-        tri_data, attr_packed, row_offset, image_width, image_height,
-        full_height, interpret, chunk, dot_precision, with_z=with_z)
+        table, s_rows, plan, candidates, counts, a_pad, row_offset,
+        image_width, image_height, full_height, interpret, chunk,
+        dot_precision, with_z=with_z)
     attr_images = jnp.moveaxis(attrs, 1, -1)[..., :a]  # [B, H, W, A]
     out = (ids, bc, attr_images) + ((z,) if with_z else ())
-    residuals = (jax.lax.stop_gradient(tri_data),
-                 jax.lax.stop_gradient(attr_packed), triangles,
+    residuals = (jax.lax.stop_gradient(table),
+                 jax.tree_util.tree_map(jax.lax.stop_gradient, plan),
+                 candidates, counts, triangles,
                  clip_vertices.shape[1], a, ids, bc, row_offset)
     return out, residuals
 
 
 def _interp_bwd(image_width, image_height, full_height, interpret, with_z,
-                dot_precision, residuals, cotangents):
-    (tri_data, attr_packed, triangles, vertex_count, attribute_count, ids,
-     bc, row_offset) = residuals
+                dot_precision, binning, residuals, cotangents):
+    (table, plan, candidates, counts, triangles, vertex_count,
+     attribute_count, ids, bc, row_offset) = residuals
     # Any z cotangent is discarded: the kernel produces no vertex-z gradient
     # (cpp:232-269 property) and z feeds only stop-gradient-style winner
     # selection in the multi-pass merge.
     _, df_dbc, df_dattr = cotangents[0], cotangents[1], cotangents[2]
     df_dvertices, df_dattributes = _backward_fused(
-        tri_data, attr_packed, triangles, vertex_count, attribute_count,
-        ids, bc, df_dbc, df_dattr, row_offset, image_width, image_height,
-        full_height, interpret, dot_precision)
+        table, plan, candidates, counts, triangles, vertex_count,
+        attribute_count, ids, bc, df_dbc, df_dattr, row_offset,
+        image_width, image_height, full_height, interpret, dot_precision)
     tri_cot = np.zeros(np.shape(triangles), dtype=jax.dtypes.float0)
     row_cot = np.zeros((), dtype=jax.dtypes.float0)
     return df_dvertices, df_dattributes, tri_cot, row_cot
@@ -1251,21 +1576,24 @@ def rasterize_interpolate_pallas_batched(clip_vertices, attributes,
                                          image_height, row_offset=None,
                                          full_height=None, interpret=None,
                                          dot_precision="default",
-                                         spatial_sort=True):
+                                         spatial_sort=True,
+                                         binning="gathered"):
     """Fused differentiable rasterization + attribute interpolation.
 
     Args:
       clip_vertices: [batch, V, 4] f32 clip-space positions.
       attributes: [batch, V, A] f32 per-vertex attributes.
       triangles: [T, 3] i32.
-      spatial_sort: re-bin triangles in a batch-shared screen-space order
-        when that culls tighter than the caller's order
-        (_spatial_order_auto decides per call, under jit) — same rendered
-        values (hard rasterization is a pure selection; only bit-exact z
-        ties between coplanar triangles can resolve to the other
-        triangle). Applied to single-pass meshes only; disable via
-        HardRasterizerConfig(spatial_sort=False) for strict later-id tie
-        reproduction.
+      spatial_sort: chunk-binning mode only — re-bin triangles in a
+        batch-shared screen-space order when that culls tighter than the
+        caller's order (_spatial_order_auto decides per call, under jit);
+        same rendered values, only bit-exact z ties between coplanar
+        triangles can resolve to the other triangle. The gathered mode
+        bins at triangle granularity (exact per-triangle tile lists), so
+        a sort cannot tighten it and the flag is ignored.
+      binning: 'gathered' (default — triangle-granularity per-tile
+        segments; bit-identical results, reference later-id tie rule on
+        ORIGINAL ids) or 'chunk' (legacy chunk-granularity prepass).
 
     Returns:
       (ids [B, H, W] i32, barycentrics [B, H, W, 3] f32,
@@ -1286,7 +1614,7 @@ def rasterize_interpolate_pallas_batched(clip_vertices, attributes,
     tris = jnp.asarray(triangles, jnp.int32)
     row_off = jnp.asarray(row_offset, jnp.int32)
 
-    slices = _triangle_slices(tris.shape[0])
+    slices = _triangle_slices(tris.shape[0], _max_pass_triangles(binning))
     with_z = len(slices) > 1  # only the multi-pass merge consumes z
 
     _resolve_precision(dot_precision)  # validate eagerly
@@ -1295,10 +1623,10 @@ def rasterize_interpolate_pallas_batched(clip_vertices, attributes,
         return _pallas_interp_core(
             clip_vertices, attrs_f, tri_slice, row_off, int(image_width),
             int(image_height), int(full_height), interp, with_z,
-            dot_precision)
+            dot_precision, binning)
 
     if len(slices) <= 1:  # includes the zero-triangle mesh (empty slices)
-        if spatial_sort and tris.shape[0] > 1:
+        if binning == "chunk" and spatial_sort and tris.shape[0] > 1:
             order = jax.lax.stop_gradient(_spatial_order_auto(
                 clip_vertices, tris, _fused_chunk_for(tris.shape[0]),
                 image_width, image_height, row_off,

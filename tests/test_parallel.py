@@ -199,6 +199,7 @@ def test_sharded_rasterize_multi_pass_large_mesh(monkeypatch):
                          config=cfg)
 
     monkeypatch.setattr(rp, "MAX_PALLAS_TRIANGLES", 5)  # 12 tris -> 3 passes
+    monkeypatch.setattr(rp, "MAX_GATHERED_TRIANGLES", 5)
     m = parallel.make_mesh(data=2, space=4)
     got = jax.jit(lambda v, a, c: parallel.sharded_rasterize(
         m, v, a, tris, c, 16, 16, background, config=cfg))(verts, attrs,

@@ -212,6 +212,7 @@ def test_multi_pass_large_mesh_matches_single_pass(monkeypatch):
     want_g = jax.grad(fused_loss, argnums=(0, 1))(verts, attrs)
 
     monkeypatch.setattr(rp, "MAX_PALLAS_TRIANGLES", 11)  # -> 3 passes
+    monkeypatch.setattr(rp, "MAX_GATHERED_TRIANGLES", 11)
     got = rp.rasterize_barycentric_pallas_batched(clip, tris, width, height)
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
@@ -392,3 +393,134 @@ def test_spatial_sort_matches_unsorted():
         scale = float(jnp.max(jnp.abs(want))) + 1e-6
         np.testing.assert_allclose(np.asarray(got) / scale,
                                    np.asarray(want) / scale, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Gathered (triangle-granularity) binning
+# ---------------------------------------------------------------------------
+
+
+def test_gather_plan_invariants():
+    """Per-tile gathered segments contain exactly the kept triangles whose
+    bbox overlaps the tile, in ascending original-id order, chunk-aligned,
+    and agreeing with the per-triangle `_bin_hits` overlap test."""
+    from pytorch_mesh_renderer_tpu.ops import rasterize_pallas as rp
+
+    width, height = 48, 40
+    verts, tris, _, cam, _ = _random_scene(tri_count=37, width=width,
+                                           height=height)
+    clip = camera.transform_homogeneous(cam, verts)
+    chunk = rp.TRI_CHUNK
+    tri_data = rp._pack_batched(clip, tris, chunk)
+    batch, t_pad, _ = tri_data.shape
+    n_rows = -(-height // rp.TILE_H)
+    n_cols = -(-width // rp.TILE_W)
+    budget = rp._gather_budget_rows(t_pad, n_rows * n_cols, chunk)
+    g, keep, start_c, n_c = [np.asarray(x) for x in rp._gather_plan(
+        tri_data[:, :, 15:20], chunk, width, height, 0, height, budget)]
+    hit1 = np.asarray(rp._bin_hits(tri_data[:, :, 15:20], 1, width, height,
+                                   0, height))  # [B, R, C, T_pad]
+    assert g.shape == (batch, budget)
+    for b in range(batch):
+        seen = np.zeros(t_pad, np.int64)
+        for r in range(n_rows):
+            for c in range(n_cols):
+                s = start_c[b, r, c, 0] * chunk
+                n = n_c[b, r, c, 0] * chunk
+                seg = g[b, s:s + n]
+                ids = seg[seg < t_pad]
+                assert np.all(np.diff(ids) > 0)  # ascending original ids
+                want = np.nonzero(hit1[b, r, c] & keep[b])[0]
+                np.testing.assert_array_equal(ids, want)
+                seen[ids] += 1
+        # every kept triangle appears once per overlapped tile, and
+        # non-kept triangles never appear in the gathered section
+        per_tri = hit1[b].reshape(-1, t_pad).sum(axis=0)
+        np.testing.assert_array_equal(seen,
+                                      np.where(keep[b], per_tri, 0))
+
+
+def test_gathered_matches_chunk_binning():
+    """binning='gathered' reproduces the legacy chunk prepass bit-for-bit
+    on the forward outputs (winner selection is order-independent) and to
+    f32 reassociation tolerance on the gradients."""
+    from pytorch_mesh_renderer_tpu.ops import rasterize_pallas as rp
+
+    width, height = 48, 40
+    verts, tris, attrs, cam, _ = _random_scene(tri_count=30)
+    clip = camera.transform_homogeneous(cam, verts)
+
+    outs = {}
+    grads = {}
+    for binning in ("gathered", "chunk"):
+        outs[binning] = [
+            np.asarray(x) for x in rp.rasterize_barycentric_pallas_batched(
+                clip, tris, width, height, binning=binning)]
+        outs[binning] += [
+            np.asarray(x) for x in rp.rasterize_interpolate_pallas_batched(
+                clip, attrs, tris, width, height, spatial_sort=False,
+                binning=binning)]
+
+        def loss(v, a, binning=binning):
+            _, bc, ai = rp.rasterize_interpolate_pallas_batched(
+                camera.transform_homogeneous(cam, v), a, tris, width,
+                height, spatial_sort=False, binning=binning)
+            return jnp.sum(jnp.sin(ai)) + jnp.sum(bc ** 2)
+
+        grads[binning] = jax.grad(loss, argnums=(0, 1))(verts, attrs)
+
+    for a, b in zip(outs["gathered"], outs["chunk"]):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(grads["gathered"], grads["chunk"]):
+        # gathered-section gradients reduce via segment-sum (different f32
+        # accumulation order than the legacy in-kernel RMW)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_gathered_cap_and_budget_fallback(monkeypatch):
+    """Triangles spanning more tiles than GATHER_TILE_CAP — or dropped by
+    the static row budget — are exactly partitioned onto the in-kernel
+    legacy loop: mixed scenes stay bit-identical to the default plan."""
+    from pytorch_mesh_renderer_tpu.ops import rasterize_pallas as rp
+
+    width, height = 48, 40
+    verts, tris, attrs, cam, _ = _random_scene(tri_count=30)
+    clip = camera.transform_homogeneous(cam, verts)
+
+    def render():
+        out = [np.asarray(x) for x in rp.rasterize_barycentric_pallas_batched(
+            clip, tris, width, height)]
+        out += [np.asarray(x) for x in rp.rasterize_interpolate_pallas_batched(
+            clip, attrs, tris, width, height)]
+        return out
+
+    def grad():
+        def loss(v, a):
+            _, bc, ai = rp.rasterize_interpolate_pallas_batched(
+                camera.transform_homogeneous(cam, v), a, tris, width,
+                height)
+            return jnp.sum(jnp.sin(ai)) + jnp.sum(bc ** 2)
+        return jax.grad(loss, argnums=(0, 1))(verts, attrs)
+
+    want = render()
+    want_g = grad()
+
+    # cap=1: multi-tile triangles fall back to the legacy loop (mixed).
+    monkeypatch.setattr(rp, "GATHER_TILE_CAP", 1)
+    for a, b in zip(render(), want):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(grad(), want_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    monkeypatch.undo()
+
+    # Tiny row budget: tiles overflow, everything routes to the legacy
+    # loop (keep must go fully False, not half-place triangles).
+    monkeypatch.setattr(rp, "_gather_budget_rows",
+                        lambda t_pad, n_tiles, chunk: 2 * chunk)
+    for a, b in zip(render(), want):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(grad(), want_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

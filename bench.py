@@ -187,9 +187,9 @@ def estimate_soft_cost(scene, size, n_lights=2, blur_radius=0.01):
     """Analytic FLOP/byte model of the soft Pallas fwd+bwd step.
 
     The soft-kernel counterpart of estimate_hard_cost (VERDICT r2 weak #2):
-    (tile, chunk) pair counts come from the real binning prepass
-    (soft_rasterize_pallas._bin_chunks over the blur-inflated bboxes), so
-    the FLOP count reflects the work the kernels execute. Per-(triangle,
+    (tile, chunk) visit counts come from the real gathered-binning prepass
+    (soft_rasterize_pallas._prepare_tables over the blur-inflated bboxes),
+    so the FLOP count reflects the work the kernels execute. Per-(triangle,
     pixel) FLOP constants are read off the kernel bodies:
 
       forward (_chunk_forward + online-softmax update): 12 barycentric
@@ -226,8 +226,11 @@ def estimate_soft_cost(scene, size, n_lights=2, blur_radius=0.01):
     normals = mesh_ops.compute_vertex_normals(scene["vertices"], triangles)
     tri_data = sp._pack_batched(clip, triangles, scene["vertices"], normals,
                                 scene["diffuse"], blur_radius)
-    _, counts = sp._bin_chunks(tri_data, size, size, 0, size)
-    pairs = int(jnp.sum(counts))
+    # Visit counts from the real gathered-binning prepass: per-tile
+    # gathered segment chunks + legacy fallback candidates.
+    _, _, plan, _, counts = sp._prepare_tables(
+        tri_data, "gathered", size, size, 0, size)
+    pairs = int(jnp.sum(plan[3])) + int(jnp.sum(counts))
     tri_px = pairs * sp.TRI_CHUNK * sp.TILE_H * sp.TILE_W
     flops = tri_px * ((224 + 23 * n_lights) + (652 + 63 * n_lights))
 
@@ -253,9 +256,9 @@ V5E_HBM_BYTES_PER_SEC = 819e9
 def estimate_hard_cost(scene, size):
     """Analytic FLOP/byte model of the fused hard Pallas fwd+bwd step.
 
-    (tile, chunk) pair counts come from the real binning prepass
-    (rasterize_pallas._bin_chunks), so the FLOP count reflects the work the
-    kernel actually executes, not a dense worst case. Per-(triangle, pixel)
+    (tile, chunk) visit counts come from the real gathered-binning prepass
+    (rasterize_pallas._prepare_tables), so the FLOP count reflects the work
+    the kernel actually executes, not a dense worst case. Per-(triangle, pixel)
     FLOP constants are read off the kernel bodies:
 
       forward (_rasterize_chunk_core + fused interpolation): 12 edge-func
@@ -282,8 +285,11 @@ def estimate_hard_cost(scene, size):
     clip = camera.transform_homogeneous(cams, scene["vertices"])
     chunk = rp._fused_chunk_for(scene["triangles"].shape[0])
     tri_data = rp._pack_batched(clip, scene["triangles"], chunk)
-    _, counts = rp._bin_chunks(tri_data, chunk, size, size, 0, size)
-    pairs = int(jnp.sum(counts))
+    # Visit counts from the real gathered-binning prepass: per-tile
+    # gathered segment chunks + legacy fallback candidates.
+    _, _, plan, _, counts = rp._prepare_tables(
+        tri_data, None, chunk, size, size, 0, size, "gathered")
+    pairs = int(jnp.sum(plan[3])) + int(jnp.sum(counts))
     tri_px = pairs * chunk * rp.TILE_H * rp.TILE_W
     # Same attribute packing as models/mesh_renderer.py (normals + positions
     # + diffuse = 9 attrs) — derive the pad from the kernel's own rule.

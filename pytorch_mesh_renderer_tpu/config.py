@@ -58,11 +58,16 @@ class SoftRasterizerConfig:
       triangle_chunk: triangles per online-aggregation scan step.
       eps: background-probability floor (reference EPS=1e-10,
         soft_mesh_renderer/rasterize.py:211).
+      binning: 'gathered' (default — triangle-granularity per-tile
+        binning over the blur-inflated bboxes; exact partition, additive
+        aggregation unchanged) or 'chunk' (legacy chunk-granularity
+        prepass). See HardRasterizerConfig.binning.
     """
     backend: str = "auto"
     triangle_chunk: int = 64
     eps: float = 1e-10
     dot_precision: str = "default"
+    binning: str = "gathered"
 
 
 HARD_CONFIG = HardRasterizerConfig()

@@ -311,7 +311,7 @@ def _gathered_id_ranges(gather_idx, t_pad, chunk):
     return idmin[:, None, :], idmax[:, None, :]
 
 
-def _build_tables(tri_data, attr_packed, plan, live_col=15):
+def _build_tables(tri_data, attr_packed, plan, live_col=15, with_id=True):
     """Assemble the two-section kernel table from a binning plan.
 
     Section A ([:S] with S = plan's budget): gathered per-tile segments
@@ -319,32 +319,41 @@ def _build_tables(tri_data, attr_packed, plan, live_col=15):
     B ([S:]): the original rows with liveness masked to the plan's
     fallback triangles (~keep), walked by the legacy chunk-binned loop.
 
-    Returns [B, S + T_pad, W] with W = _ID_COL + 1 (bare) or
-    _ATTR_COL + attr width (fused).
+    with_id appends the original-triangle-id column at _ID_COL (the hard
+    kernels' winner identity); the soft kernels aggregate additively with
+    no per-triangle identity, so they skip it.
+
+    Returns [B, S + T_pad, W] with W = _ID_COL + 1 (hard bare),
+    _ATTR_COL + attr width (hard fused), or the input width (soft).
     """
     gather_idx, keep, _, _ = plan
     batch, t_pad, cols = tri_data.shape
-    iota = jnp.arange(t_pad, dtype=jnp.float32)
-    parts = [tri_data,
-             jnp.broadcast_to(iota[None, :, None], (batch, t_pad, 1))]
+    parts = [tri_data]
+    if with_id:
+        iota = jnp.arange(t_pad, dtype=jnp.float32)
+        parts.append(jnp.broadcast_to(iota[None, :, None],
+                                      (batch, t_pad, 1)))
     if attr_packed is not None:
         parts.append(jnp.zeros((batch, t_pad, _ATTR_COL - cols - 1),
                                jnp.float32))
         parts.append(attr_packed)
-    base = jnp.concatenate(parts, axis=-1)
+    base = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
     width = base.shape[-1]
     # Sentinel row (index t_pad): dead (live 0), id -1.
     sentinel = jnp.zeros((batch, 1, width), jnp.float32)
-    sentinel = sentinel.at[:, 0, _ID_COL].set(-1.0)
+    if with_id:
+        sentinel = sentinel.at[:, 0, _ID_COL].set(-1.0)
     ext = jnp.concatenate([base, sentinel], axis=1)
     dup = jnp.take_along_axis(ext, gather_idx[..., None], axis=1)
     legacy = base.at[..., live_col].multiply(
         1.0 - keep.astype(jnp.float32))
-    # Kept triangles' legacy rows are dead; also blank their ids, or the
-    # backward's purely id-based winner masks would re-count them when a
-    # legacy candidate chunk (binned for overflow neighbors) contains them.
-    legacy = legacy.at[..., _ID_COL].set(
-        jnp.where(keep, -1.0, legacy[..., _ID_COL]))
+    if with_id:
+        # Kept triangles' legacy rows are dead; also blank their ids, or
+        # the backward's purely id-based winner masks would re-count them
+        # when a legacy candidate chunk (binned for overflow neighbors)
+        # contains them.
+        legacy = legacy.at[..., _ID_COL].set(
+            jnp.where(keep, -1.0, legacy[..., _ID_COL]))
     return jnp.concatenate([dup, legacy], axis=1)
 
 

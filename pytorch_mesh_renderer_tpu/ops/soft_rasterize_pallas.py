@@ -81,6 +81,15 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 # soft_rasterize_pallas_batched), so the triangle dimension scales to HBM
 # capacity instead of VMEM — same scheme as the hard module.
 MAX_PALLAS_TRIANGLES = 49152
+# Gathered binning roughly triples the VMEM-resident rows (see the hard
+# module); its per-pass cap is lower and the exact online-softmax merge
+# covers larger meshes.
+MAX_GATHERED_TRIANGLES = 12288
+
+
+def _max_pass_triangles(binning):
+    return (MAX_GATHERED_TRIANGLES if binning == "gathered"
+            else MAX_PALLAS_TRIANGLES)
 
 
 def _pack_triangle_data(clip_space_vertices, triangles, world_space_vertices,
@@ -213,6 +222,40 @@ def _bin_chunks(tri_data, image_width, image_height, row_offset,
 _bin_specs = hard_pallas._bin_specs
 
 
+def _prepare_tables(tri_data, binning, image_width, image_height,
+                    row_offset, full_height):
+    """Soft-table variant of rasterize_pallas._prepare_tables.
+
+    Same two-section scheme (gathered per-tile segments + overflow-masked
+    legacy section) over THIS table's layout: keep gate at col 21,
+    blur-inflated bbox at 22-25, top-down pixel grid, no id column — soft
+    aggregation is additive, so correctness needs only the exact
+    keep/overflow partition, not per-row identity.
+    """
+    if binning not in ("gathered", "chunk"):
+        raise ValueError(
+            f"binning must be 'gathered' or 'chunk', got {binning!r}")
+    batch, t_pad, _ = tri_data.shape
+    n_rows = pl.cdiv(image_height, TILE_H)
+    n_cols = pl.cdiv(image_width, TILE_W)
+    if binning == "gathered":
+        budget = hard_pallas._gather_budget_rows(t_pad, n_rows * n_cols,
+                                                 TRI_CHUNK)
+        plan = hard_pallas._gather_plan(
+            tri_data[:, :, 21:26], TRI_CHUNK, image_width, image_height,
+            row_offset, full_height, budget, top_down=True,
+            tile_h=TILE_H, tile_w=TILE_W)
+    else:
+        plan = hard_pallas._legacy_plan(batch, t_pad, TRI_CHUNK, n_rows,
+                                        n_cols)
+    table = hard_pallas._build_tables(tri_data, None, plan, live_col=21,
+                                      with_id=False)
+    s_rows = plan[0].shape[1]
+    candidates, counts = _bin_chunks(table[:, s_rows:], image_width,
+                                     image_height, row_offset, full_height)
+    return table, s_rows, plan, candidates, counts
+
+
 def _chunk_forward(data, px, py, light, sigma, gamma, sq_blur,
                    n_lights, shade=True):
     """Recomputes all per-(pixel, chunk-triangle) forward quantities.
@@ -317,10 +360,10 @@ def _chunk_forward(data, px, py, light, sigma, gamma, sq_blur,
     return q
 
 
-def _fwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
-                rgb0_ref, rgb1_ref, rgb2_ref, alpha_ref, max_ref, sumw_ref,
-                *, image_width, image_height, full_height, n_tri_padded,
-                n_lights):
+def _fwd_kernel(params_ref, lights_ref, a_start_ref, a_count_ref,
+                b_count_ref, b_cand_ref, tri_ref, rgb0_ref, rgb1_ref,
+                rgb2_ref, alpha_ref, max_ref, sumw_ref, *, image_width,
+                image_height, full_height, s_rows, n_lights):
     # Grid: (batch, tile_row, tile_col) — the whole mesh batch renders in
     # one pallas_call; never vmap these kernels.
     ti = pl.program_id(1)
@@ -334,12 +377,10 @@ def _fwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
     row_off = params_ref[3]
 
     px, py = _tile_coords(ti, tj, row_off, image_width, full_height)
-    count = count_ref[0, 0, tj, 0]
 
-    def chunk_body(i, carry):
-        c = cand_ref[0, 0, tj, i]
+    def visit(row_start, carry):
         run_max, sum_w, sum_r, sum_g, sum_b, sil = carry
-        data = tri_ref[0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]
+        data = tri_ref[0, pl.ds(row_start, TRI_CHUNK), :]
         q = _chunk_forward(data, px, py, light, sigma, gamma,
                            sq_blur, n_lights)
         coverage, logit = q["coverage"], q["logit"]
@@ -358,12 +399,21 @@ def _fwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
         sil = sil * factor
         return new_max, sum_w, sum_r, sum_g, sum_b, sil
 
+    a_start = a_start_ref[0, 0, tj, 0]
+
+    def a_body(i, carry):
+        return visit((a_start + i) * TRI_CHUNK, carry)
+
+    def b_body(i, carry):
+        return visit(s_rows + b_cand_ref[0, 0, tj, i] * TRI_CHUNK, carry)
+
     zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     init = (jnp.full((TILE_H, TILE_W), EPS / gamma, jnp.float32),
             zeros, zeros, zeros, zeros,
             jnp.ones((TILE_H, TILE_W), jnp.float32))
+    carry = jax.lax.fori_loop(0, a_count_ref[0, 0, tj, 0], a_body, init)
     run_max, sum_w, sum_r, sum_g, sum_b, sil = jax.lax.fori_loop(
-        0, count, chunk_body, init)
+        0, b_count_ref[0, 0, tj, 0], b_body, carry)
 
     bg = jnp.maximum(jnp.exp(EPS / gamma - run_max), EPS)
     inv_total = 1.0 / (sum_w + bg)
@@ -375,11 +425,12 @@ def _fwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
     sumw_ref[0] = sum_w
 
 
-def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
-                max_ref, sumw_ref, sil_ref, rgb0_ref, rgb1_ref, rgb2_ref,
-                dr_ref, dg_ref, db_ref, da_ref, dsw_ref, ddata_ref,
-                dlights_ref, dparams_ref, *, image_width, image_height,
-                full_height, n_tri_padded, n_lights, precision):
+def _bwd_kernel(params_ref, lights_ref, a_start_ref, a_count_ref,
+                b_count_ref, b_cand_ref, tri_ref, max_ref, sumw_ref,
+                sil_ref, rgb0_ref, rgb1_ref, rgb2_ref, dr_ref, dg_ref,
+                db_ref, da_ref, dsw_ref, ddata_ref, dlights_ref,
+                dparams_ref, *, image_width, image_height, full_height,
+                s_rows, n_lights, precision):
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     sigma = params_ref[0]
@@ -460,7 +511,7 @@ def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
         extras.append(val)
         return len(extras) - 1
 
-    def flush_acc(c, light_slots, param_slots):
+    def flush_acc(row_start, light_slots, param_slots):
         # Pre-reduce every queued [C, TH, TW] value over the tile-row axis
         # on the VPU first (halving adds the compiler can keep in
         # registers): the staged dot operand shrinks TH-fold, so the one
@@ -482,7 +533,7 @@ def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
             eye_c, red.reshape(n_rows, TRI_CHUNK), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)  # [C, R]
-        sl = (0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), pl.ds(0, _COLS))
+        sl = (0, pl.ds(row_start, TRI_CHUNK), pl.ds(0, _COLS))
         ddata_ref[sl] = ddata_ref[sl] + red_t[:, :_COLS]
         tail = jnp.sum(red_t[:, _COLS:], axis=0, keepdims=True)  # [1, E]
         for slot, (l, comp) in light_slots:
@@ -494,11 +545,8 @@ def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
         cols.clear()
         extras.clear()
 
-    count = count_ref[0, 0, tj, 0]
-
-    def chunk_body(i, _):
-        c = cand_ref[0, 0, tj, i]
-        data = tri_ref[0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]
+    def visit(row_start, _):
+        data = tri_ref[0, pl.ds(row_start, TRI_CHUNK), :]
 
         def process(_):
             def col(k):
@@ -650,13 +698,22 @@ def _bwd_kernel(params_ref, lights_ref, count_ref, cand_ref, tri_ref,
                 (dcb0 - dcb2) * outs * q["pick20"],
             )
             _edge_gradients(q, col, px, py, dsq, dts, acc)
-            flush_acc(c, light_slots, param_slots)
+            flush_acc(row_start, light_slots, param_slots)
             return 0
 
         process(0)
         return 0
 
-    jax.lax.fori_loop(0, count, chunk_body, 0)
+    a_start = a_start_ref[0, 0, tj, 0]
+
+    def a_body(i, _):
+        return visit((a_start + i) * TRI_CHUNK, 0)
+
+    def b_body(i, _):
+        return visit(s_rows + b_cand_ref[0, 0, tj, i] * TRI_CHUNK, 0)
+
+    jax.lax.fori_loop(0, a_count_ref[0, 0, tj, 0], a_body, 0)
+    jax.lax.fori_loop(0, b_count_ref[0, 0, tj, 0], b_body, 0)
 
 
 def _edge_gradients(q, col, px, py, dsq, dts, acc):
@@ -703,8 +760,9 @@ def _edge_gradients(q, col, px, py, dsq, dts, acc):
         acc(cby, db_ty + db_sy)
 
 
-def _fwd_kernel_sil(params_ref, count_ref, cand_ref, tri_ref, alpha_ref, *,
-                    image_width, image_height, full_height, n_tri_padded):
+def _fwd_kernel_sil(params_ref, a_start_ref, a_count_ref, b_count_ref,
+                    b_cand_ref, tri_ref, alpha_ref, *, image_width,
+                    image_height, full_height, s_rows):
     """Silhouette-only forward: alpha = 1 - prod(1 - coverage).
 
     The SoftRas alpha channel needs none of the shading/softmax machinery
@@ -720,11 +778,9 @@ def _fwd_kernel_sil(params_ref, count_ref, cand_ref, tri_ref, alpha_ref, *,
     row_off = params_ref[3]
 
     px, py = _tile_coords(ti, tj, row_off, image_width, full_height)
-    count = count_ref[0, 0, tj, 0]
 
-    def chunk_body(i, sil):
-        c = cand_ref[0, 0, tj, i]
-        data = tri_ref[0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]
+    def visit(row_start, sil):
+        data = tri_ref[0, pl.ds(row_start, TRI_CHUNK), :]
         q = _chunk_forward(data, px, py, None, sigma, 1.0, sq_blur,
                            n_lights=0, shade=False)
         one_minus = 1.0 - q["coverage"]
@@ -733,14 +789,22 @@ def _fwd_kernel_sil(params_ref, count_ref, cand_ref, tri_ref, alpha_ref, *,
             factor = factor * one_minus[k]
         return sil * factor
 
+    a_start = a_start_ref[0, 0, tj, 0]
     sil = jax.lax.fori_loop(
-        0, count, chunk_body, jnp.ones((TILE_H, TILE_W), jnp.float32))
+        0, a_count_ref[0, 0, tj, 0],
+        lambda i, s: visit((a_start + i) * TRI_CHUNK, s),
+        jnp.ones((TILE_H, TILE_W), jnp.float32))
+    sil = jax.lax.fori_loop(
+        0, b_count_ref[0, 0, tj, 0],
+        lambda i, s: visit(s_rows + b_cand_ref[0, 0, tj, i] * TRI_CHUNK, s),
+        sil)
     alpha_ref[0] = 1.0 - sil
 
 
-def _bwd_kernel_sil(params_ref, count_ref, cand_ref, tri_ref, sil_ref,
-                    da_ref, ddata_ref, dparams_ref, *, image_width,
-                    image_height, full_height, n_tri_padded, precision):
+def _bwd_kernel_sil(params_ref, a_start_ref, a_count_ref, b_count_ref,
+                    b_cand_ref, tri_ref, sil_ref, da_ref, ddata_ref,
+                    dparams_ref, *, image_width, image_height, full_height,
+                    s_rows, precision):
     """Silhouette-only backward: edge-endpoint + dsigma gradients.
 
     alpha touches the triangle table ONLY through coverage =
@@ -777,11 +841,8 @@ def _bwd_kernel_sil(params_ref, count_ref, cand_ref, tri_ref, sil_ref,
         prev = cols.get(colidx)
         cols[colidx] = val if prev is None else prev + val
 
-    count = count_ref[0, 0, tj, 0]
-
-    def chunk_body(i, _):
-        c = cand_ref[0, 0, tj, i]
-        data = tri_ref[0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]
+    def visit(row_start, _):
+        data = tri_ref[0, pl.ds(row_start, TRI_CHUNK), :]
 
         def col(k):
             return data[:, k].reshape(TRI_CHUNK, 1, 1)
@@ -809,7 +870,7 @@ def _bwd_kernel_sil(params_ref, count_ref, cand_ref, tri_ref, sil_ref,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)  # [C, 7]
-        sl = (0, pl.ds(c * TRI_CHUNK, TRI_CHUNK), pl.ds(9, 6))
+        sl = (0, pl.ds(row_start, TRI_CHUNK), pl.ds(9, 6))
         ddata_ref[sl] = ddata_ref[sl] + red_t[:, :6]
         psl = (0, pl.ds(0, 1), pl.ds(0, 1))
         dparams_ref[psl] = (dparams_ref[psl]
@@ -817,26 +878,30 @@ def _bwd_kernel_sil(params_ref, count_ref, cand_ref, tri_ref, sil_ref,
         cols.clear()
         return 0
 
-    jax.lax.fori_loop(0, count, chunk_body, 0)
+    a_start = a_start_ref[0, 0, tj, 0]
+    jax.lax.fori_loop(0, a_count_ref[0, 0, tj, 0],
+                      lambda i, _: visit((a_start + i) * TRI_CHUNK, 0), 0)
+    jax.lax.fori_loop(
+        0, b_count_ref[0, 0, tj, 0],
+        lambda i, _: visit(s_rows + b_cand_ref[0, 0, tj, i] * TRI_CHUNK, 0),
+        0)
 
 
-def _run_forward_sil(tri_data, params, row_offset, image_width,
-                     image_height, full_height, interpret):
-    batch, n_tri_padded, _ = tri_data.shape
+def _run_forward_sil(table, s_rows, plan, candidates, counts, params,
+                     image_width, image_height, full_height, interpret):
+    batch, total_rows, _ = table.shape
+    n_tri_padded = total_rows - s_rows
     grid = (batch, pl.cdiv(image_height, TILE_H),
             pl.cdiv(image_width, TILE_W))
     kernel = functools.partial(
         _fwd_kernel_sil, image_width=image_width,
-        image_height=image_height, full_height=full_height,
-        n_tri_padded=n_tri_padded)
+        image_height=image_height, full_height=full_height, s_rows=s_rows)
     tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
                              lambda b, i, j: (b, i, j),
                              memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec((1, n_tri_padded, _COLS),
+    tri_spec = pl.BlockSpec((1, total_rows, _COLS),
                             lambda b, i, j: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    candidates, counts = _bin_chunks(tri_data, image_width, image_height,
-                                     row_offset, full_height)
     count_spec, cand_spec = _bin_specs(
         pl.cdiv(image_width, TILE_W), n_tri_padded // TRI_CHUNK)
     return pl.pallas_call(
@@ -844,8 +909,10 @@ def _run_forward_sil(tri_data, params, row_offset, image_width,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            count_spec,
-            cand_spec,
+            count_spec,   # gathered segment starts
+            count_spec,   # gathered segment chunk counts
+            count_spec,   # legacy candidate counts
+            cand_spec,    # legacy candidate chunk ids
             tri_spec,
         ],
         out_specs=[tile_spec],
@@ -853,63 +920,65 @@ def _run_forward_sil(tri_data, params, row_offset, image_width,
             (batch, image_height, image_width), jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(params, counts, candidates, tri_data)[0]
+    )(params, plan[2], plan[3], counts, candidates, table)[0]
 
 
-def _run_backward_sil(tri_data, params, row_offset, alpha, cotangent,
-                      image_width, image_height, full_height, interpret,
-                      dot_precision):
-    batch, n_tri_padded, _ = tri_data.shape
+def _run_backward_sil(table, s_rows, plan, candidates, counts, params,
+                      alpha, cotangent, image_width, image_height,
+                      full_height, interpret, dot_precision):
+    batch, total_rows, _ = table.shape
+    n_tri_padded = total_rows - s_rows
     grid = (batch, pl.cdiv(image_height, TILE_H),
             pl.cdiv(image_width, TILE_W))
     kernel = functools.partial(
         _bwd_kernel_sil, image_width=image_width,
-        image_height=image_height, full_height=full_height,
-        n_tri_padded=n_tri_padded,
+        image_height=image_height, full_height=full_height, s_rows=s_rows,
         precision=hard_pallas._resolve_precision(dot_precision))
     tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
                              lambda b, i, j: (b, i, j),
                              memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec((1, n_tri_padded, _COLS),
+    tri_spec = pl.BlockSpec((1, total_rows, _COLS),
                             lambda b, i, j: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    acc_spec_data = pl.BlockSpec((1, n_tri_padded, _COLS),
+    acc_spec_data = pl.BlockSpec((1, total_rows, _COLS),
                                  lambda b, i, j: (b, 0, 0),
                                  memory_space=pltpu.VMEM)
     acc_spec_params = pl.BlockSpec((1, 1, 8),
                                    lambda b, i, j: (b, 0, 0),
                                    memory_space=pltpu.VMEM)
-    candidates, counts = _bin_chunks(tri_data, image_width, image_height,
-                                     row_offset, full_height)
     count_spec, cand_spec = _bin_specs(
         pl.cdiv(image_width, TILE_W), n_tri_padded // TRI_CHUNK)
-    ddata, dparams = pl.pallas_call(
+    dtab, dparams = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            count_spec,
+            count_spec,
             count_spec,
             cand_spec,
             tri_spec,
         ] + [tile_spec] * 2,
         out_specs=[acc_spec_data, acc_spec_params],
         out_shape=[
-            jax.ShapeDtypeStruct((batch, n_tri_padded, _COLS), jnp.float32),
+            jax.ShapeDtypeStruct((batch, total_rows, _COLS), jnp.float32),
             jax.ShapeDtypeStruct((batch, 1, 8), jnp.float32),
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(params, counts, candidates, tri_data, 1.0 - alpha, cotangent)
+    )(params, plan[2], plan[3], counts, candidates, table, 1.0 - alpha,
+      cotangent)
+    ddata = hard_pallas._segment_sum_gathered(dtab, s_rows, plan[0])
     return ddata, dparams
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _soft_sil_core(clip_space_vertices, triangles, row_offset, sigma_val,
                    image_width, image_height, blur_radius, full_height,
-                   interpret, dot_precision):
+                   interpret, dot_precision, binning):
     out, _ = _sil_fwd(clip_space_vertices, triangles, row_offset, sigma_val,
                       image_width, image_height, blur_radius, full_height,
-                      interpret, dot_precision)
+                      interpret, dot_precision, binning)
     return out
 
 
@@ -921,22 +990,30 @@ def _sil_pack(clip_v, triangles, blur_radius):
 
 def _sil_fwd(clip_v, triangles, row_offset, sigma_val, image_width,
              image_height, blur_radius, full_height, interpret,
-             dot_precision):
+             dot_precision, binning):
     tri_data = _sil_pack(clip_v, triangles, blur_radius)
+    table, s_rows, plan, candidates, counts = _prepare_tables(
+        tri_data, binning, image_width, image_height, row_offset,
+        full_height)
     params = _make_params(sigma_val, 1.0, blur_radius, row_offset)
-    alpha = _run_forward_sil(tri_data, params, row_offset, image_width,
-                             image_height, full_height, interpret)
-    residuals = (triangles, jax.lax.stop_gradient(tri_data),
+    alpha = _run_forward_sil(table, s_rows, plan, candidates, counts,
+                             params, image_width, image_height,
+                             full_height, interpret)
+    residuals = (triangles, jax.lax.stop_gradient(table),
+                 jax.tree_util.tree_map(jax.lax.stop_gradient, plan),
+                 candidates, counts,
                  jax.lax.stop_gradient(params), alpha, clip_v)
     return alpha, residuals
 
 
 def _sil_bwd(image_width, image_height, blur_radius, full_height, interpret,
-             dot_precision, residuals, cotangent):
-    triangles, tri_data, params, alpha, clip_v = residuals
+             dot_precision, binning, residuals, cotangent):
+    (triangles, table, plan, candidates, counts, params, alpha,
+     clip_v) = residuals
+    s_rows = plan[0].shape[1]
     ddata, dparams = _run_backward_sil(
-        tri_data, params, params[3], alpha, cotangent, image_width,
-        image_height, full_height, interpret, dot_precision)
+        table, s_rows, plan, candidates, counts, params, alpha, cotangent,
+        image_width, image_height, full_height, interpret, dot_precision)
     _, pack_vjp = jax.vjp(
         lambda cv: _sil_pack(cv, triangles, blur_radius), clip_v)
     (dclip,) = pack_vjp(ddata)
@@ -952,7 +1029,7 @@ _soft_sil_core.defvjp(lambda *args: _sil_fwd(*args), _sil_bwd)
 def soft_rasterize_silhouette_pallas_batched(
         clip_space_vertices, triangles, image_width, image_height,
         sigma_val, blur_radius=0.01, row_offset=None, full_height=None,
-        interpret=None, dot_precision="default"):
+        interpret=None, dot_precision="default", binning="gathered"):
     """Silhouette-only SoftRas: [B, H, W] alpha, ~2x the full fwd+bwd rate.
 
     Bit-identical to soft_rasterize_pallas_batched(...)[..., 3] (same
@@ -982,40 +1059,40 @@ def soft_rasterize_silhouette_pallas_batched(
         return _soft_sil_core(
             clip_space_vertices, tri_slice, row_off, sigma,
             int(image_width), int(image_height), float(blur_radius),
-            int(full_height), interpret, dot_precision)
+            int(full_height), interpret, dot_precision, binning)
 
     n_tri = tris.shape[0]
-    if n_tri <= MAX_PALLAS_TRIANGLES:
+    max_tris = _max_pass_triangles(binning)
+    if n_tri <= max_tris:
         return one_pass(tris)
     sil = 1.0
     start = 0
     while start < n_tri:
-        size = min(MAX_PALLAS_TRIANGLES, n_tri - start)
+        size = min(max_tris, n_tri - start)
         sil = sil * (1.0 - one_pass(tris[start:start + size]))
         start += size
     return 1.0 - sil
 
 
-def _run_forward(tri_data, lights, params, row_offset, image_width,
-                 image_height, full_height, n_lights, interpret):
-    """Batched forward: tri_data [B, T_pad, 59], lights [B, L, 4]."""
-    batch, n_tri_padded, _ = tri_data.shape
+def _run_forward(table, s_rows, plan, candidates, counts, lights, params,
+                 image_width, image_height, full_height, n_lights,
+                 interpret):
+    """Batched forward: table [B, S + T_pad, 59], lights [B, L, 4]."""
+    batch, total_rows, _ = table.shape
+    n_tri_padded = total_rows - s_rows
     grid = (batch, pl.cdiv(image_height, TILE_H),
             pl.cdiv(image_width, TILE_W))
     kernel = functools.partial(
         _fwd_kernel, image_width=image_width, image_height=image_height,
-        full_height=full_height, n_tri_padded=n_tri_padded,
-        n_lights=n_lights)
+        full_height=full_height, s_rows=s_rows, n_lights=n_lights)
     tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
                              lambda b, i, j: (b, i, j),
                              memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec((1, n_tri_padded, _COLS),
+    tri_spec = pl.BlockSpec((1, total_rows, _COLS),
                             lambda b, i, j: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     lights_spec = pl.BlockSpec((1, n_lights, 4), lambda b, i, j: (b, 0, 0),
                                memory_space=pltpu.SMEM)
-    candidates, counts = _bin_chunks(tri_data, image_width, image_height,
-                                     row_offset, full_height)
     count_spec, cand_spec = _bin_specs(
         pl.cdiv(image_width, TILE_W), n_tri_padded // TRI_CHUNK)
     out_shape = [jax.ShapeDtypeStruct(
@@ -1026,39 +1103,42 @@ def _run_forward(tri_data, lights, params, row_offset, image_width,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sigma/gamma/blur/row
             lights_spec,
-            count_spec,
-            cand_spec,
+            count_spec,   # gathered segment starts
+            count_spec,   # gathered segment chunk counts
+            count_spec,   # legacy candidate counts
+            cand_spec,    # legacy candidate chunk ids
             tri_spec,
         ],
         out_specs=[tile_spec] * 6,
         out_shape=out_shape,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(params, lights, counts, candidates, tri_data)
+    )(params, lights, plan[2], plan[3], counts, candidates, table)
 
 
-def _run_backward(tri_data, lights, params, row_offset, run_max, sum_w, sil,
-                  rgb, cotangent, d_sumw, image_width, image_height,
-                  full_height, n_lights, interpret, dot_precision):
-    """Batched backward: [B, ...] residuals -> (ddata [B, T, 53],
-    dlights [B, L, 4])."""
-    batch, n_tri_padded, _ = tri_data.shape
+def _run_backward(table, s_rows, plan, candidates, counts, lights, params,
+                  run_max, sum_w, sil, rgb, cotangent, d_sumw, image_width,
+                  image_height, full_height, n_lights, interpret,
+                  dot_precision):
+    """Batched backward: [B, ...] residuals -> (ddata [B, T_pad, 59],
+    dlights [B, L, 4], dparams)."""
+    batch, total_rows, _ = table.shape
+    n_tri_padded = total_rows - s_rows
     grid = (batch, pl.cdiv(image_height, TILE_H),
             pl.cdiv(image_width, TILE_W))
     kernel = functools.partial(
         _bwd_kernel, image_width=image_width, image_height=image_height,
-        full_height=full_height, n_tri_padded=n_tri_padded,
-        n_lights=n_lights,
+        full_height=full_height, s_rows=s_rows, n_lights=n_lights,
         precision=hard_pallas._resolve_precision(dot_precision))
     tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
                              lambda b, i, j: (b, i, j),
                              memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec((1, n_tri_padded, _COLS),
+    tri_spec = pl.BlockSpec((1, total_rows, _COLS),
                             lambda b, i, j: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     lights_spec = pl.BlockSpec((1, n_lights, 4), lambda b, i, j: (b, 0, 0),
                                memory_space=pltpu.SMEM)
-    acc_spec_data = pl.BlockSpec((1, n_tri_padded, _COLS),
+    acc_spec_data = pl.BlockSpec((1, total_rows, _COLS),
                                  lambda b, i, j: (b, 0, 0),
                                  memory_space=pltpu.VMEM)
     acc_spec_lights = pl.BlockSpec((1, n_lights, 4),
@@ -1067,31 +1147,32 @@ def _run_backward(tri_data, lights, params, row_offset, run_max, sum_w, sil,
     acc_spec_params = pl.BlockSpec((1, 1, 8),
                                    lambda b, i, j: (b, 0, 0),
                                    memory_space=pltpu.VMEM)
-    candidates, counts = _bin_chunks(tri_data, image_width, image_height,
-                                     row_offset, full_height)
     count_spec, cand_spec = _bin_specs(
         pl.cdiv(image_width, TILE_W), n_tri_padded // TRI_CHUNK)
-    ddata, dlights, dparams = pl.pallas_call(
+    dtab, dlights, dparams = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             lights_spec,
             count_spec,
+            count_spec,
+            count_spec,
             cand_spec,
             tri_spec,
         ] + [tile_spec] * 11,
         out_specs=[acc_spec_data, acc_spec_lights, acc_spec_params],
         out_shape=[
-            jax.ShapeDtypeStruct((batch, n_tri_padded, _COLS), jnp.float32),
+            jax.ShapeDtypeStruct((batch, total_rows, _COLS), jnp.float32),
             jax.ShapeDtypeStruct((batch, n_lights, 4), jnp.float32),
             jax.ShapeDtypeStruct((batch, 1, 8), jnp.float32),
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(params, lights, counts, candidates, tri_data, run_max, sum_w, sil,
-      rgb[..., 0], rgb[..., 1], rgb[..., 2], cotangent[..., 0],
+    )(params, lights, plan[2], plan[3], counts, candidates, table, run_max,
+      sum_w, sil, rgb[..., 0], rgb[..., 1], rgb[..., 2], cotangent[..., 0],
       cotangent[..., 1], cotangent[..., 2], cotangent[..., 3], d_sumw)
+    ddata = hard_pallas._segment_sum_gathered(dtab, s_rows, plan[0])
     return ddata, dlights, dparams
 
 
@@ -1109,40 +1190,46 @@ _pack_batched = jax.vmap(_pack_triangle_data,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(10, 11, 12, 13, 14, 15, 16))
+                   nondiff_argnums=(10, 11, 12, 13, 14, 15, 16, 17))
 def _soft_pallas_core(clip_space_vertices, triangles, world_space_vertices,
                       normals, diffuse_colors, light_positions,
                       light_intensities, row_offset, sigma_val, gamma_val,
                       image_width, image_height, blur_radius,
                       full_height, interpret, raw=False,
-                      dot_precision="default"):
+                      dot_precision="default", binning="gathered"):
     out, _ = _fwd(clip_space_vertices, triangles, world_space_vertices,
                   normals, diffuse_colors, light_positions,
                   light_intensities, row_offset, sigma_val, gamma_val,
                   image_width, image_height, blur_radius, full_height,
-                  interpret, raw, dot_precision)
+                  interpret, raw, dot_precision, binning)
     return out
 
 
 def _fwd(clip_v, triangles, world_v, normals, colors, lights, intensities,
          row_offset, sigma_val, gamma_val, image_width, image_height,
          blur_radius, full_height, interpret, raw=False,
-         dot_precision="default"):
+         dot_precision="default", binning="gathered"):
     tri_data = _pack_batched(clip_v, triangles, world_v, normals, colors,
                              blur_radius)
+    table, s_rows, plan, candidates, counts = _prepare_tables(
+        tri_data, binning, image_width, image_height, row_offset,
+        full_height)
     lights_packed = jnp.concatenate(
         [jnp.asarray(lights, jnp.float32),
          jnp.asarray(intensities, jnp.float32)[..., None]], axis=-1)
     params = _make_params(sigma_val, gamma_val, blur_radius, row_offset)
     r, g, b, a, run_max, sum_w = _run_forward(
-        tri_data, lights_packed, params, row_offset, image_width,
-        image_height, full_height, lights.shape[-2], interpret)
+        table, s_rows, plan, candidates, counts, lights_packed, params,
+        image_width, image_height, full_height, lights.shape[-2],
+        interpret)
     rgba = jnp.stack([r, g, b, a], axis=-1)
     # raw mode additionally exposes the online-softmax state (running max,
     # in-frame weight sum) so the multi-pass wrapper can merge passes
     # exactly; the m cotangent is analytically zero through the merge.
     out = (rgba, run_max, sum_w) if raw else rgba
-    residuals = (triangles, jax.lax.stop_gradient(tri_data),
+    residuals = (triangles, jax.lax.stop_gradient(table),
+                 jax.tree_util.tree_map(jax.lax.stop_gradient, plan),
+                 candidates, counts,
                  jax.lax.stop_gradient(lights_packed),
                  jax.lax.stop_gradient(params), run_max,
                  sum_w, jnp.stack([r, g, b], axis=-1), a,
@@ -1151,17 +1238,20 @@ def _fwd(clip_v, triangles, world_v, normals, colors, lights, intensities,
 
 
 def _bwd(image_width, image_height, blur_radius, full_height, interpret,
-         raw, dot_precision, residuals, cotangent):
-    (triangles, tri_data, lights_packed, params, run_max, sum_w, rgb, alpha,
-     clip_v, world_v, normals, colors) = residuals
+         raw, dot_precision, binning, residuals, cotangent):
+    (triangles, table, plan, candidates, counts, lights_packed, params,
+     run_max, sum_w, rgb, alpha, clip_v, world_v, normals,
+     colors) = residuals
     if raw:
         cotangent, _dm, d_sumw = cotangent  # m cotangent: see _fwd note
     else:
         d_sumw = jnp.zeros_like(sum_w)
+    s_rows = plan[0].shape[1]
     ddata, dlights_packed, dparams = _run_backward(
-        tri_data, lights_packed, params, params[3], run_max, sum_w,
-        1.0 - alpha, rgb, cotangent, d_sumw, image_width, image_height,
-        full_height, lights_packed.shape[-2], interpret, dot_precision)
+        table, s_rows, plan, candidates, counts, lights_packed, params,
+        run_max, sum_w, 1.0 - alpha, rgb, cotangent, d_sumw, image_width,
+        image_height, full_height, lights_packed.shape[-2], interpret,
+        dot_precision)
     # Transpose the (cheap) packing to reach clip vertices and attributes.
     _, pack_vjp = jax.vjp(
         lambda cv, wv, nn, cc: _pack_batched(
@@ -1199,7 +1289,8 @@ def soft_rasterize_pallas_batched(clip_space_vertices, triangles,
                                   image_height, sigma_val, gamma_val,
                                   blur_radius=0.01, row_offset=None,
                                   full_height=None, interpret=None,
-                                  dot_precision="default"):
+                                  dot_precision="default",
+                                  binning="gathered"):
     """Soft-rasterize a mesh batch with the tiled Pallas fwd+bwd kernels.
 
     All scene inputs carry a leading batch dimension (clip [B, V, 4], world
@@ -1234,10 +1325,11 @@ def soft_rasterize_pallas_batched(clip_space_vertices, triangles,
             diffuse_colors, light_positions, light_intensities, row_off,
             sigma, gamma, int(image_width), int(image_height),
             float(blur_radius), int(full_height), interpret, raw,
-            dot_precision)
+            dot_precision, binning)
 
     n_tri = tris.shape[0]
-    if n_tri <= MAX_PALLAS_TRIANGLES:
+    max_tris = _max_pass_triangles(binning)
+    if n_tri <= max_tris:
         return one_pass(tris, False)
 
     # Multi-pass: render <= MAX_PALLAS_TRIANGLES triangles per pass and
@@ -1252,7 +1344,7 @@ def soft_rasterize_pallas_batched(clip_space_vertices, triangles,
     parts = []
     start = 0
     while start < n_tri:
-        size = min(MAX_PALLAS_TRIANGLES, n_tri - start)
+        size = min(max_tris, n_tri - start)
         parts.append(one_pass(tris[start:start + size], True))
         start += size
 
@@ -1280,7 +1372,7 @@ def rasterize_batch_pallas(clip_space_vertices, triangles,
                            image_height, sigma_val, gamma_val,
                            blur_radius=0.01, row_offset=None,
                            full_height=None, interpret=None,
-                           dot_precision="default"):
+                           dot_precision="default", binning="gathered"):
     """Single-mesh wrapper over the batched Pallas soft rasterizer.
 
     Contract identical to soft_rasterize.rasterize_batch.
@@ -1291,5 +1383,5 @@ def rasterize_batch_pallas(clip_space_vertices, triangles,
         light_intensities[None], image_width, image_height, sigma_val,
         gamma_val, blur_radius=blur_radius, row_offset=row_offset,
         full_height=full_height, interpret=interpret,
-        dot_precision=dot_precision)
+        dot_precision=dot_precision, binning=binning)
     return out[0]

@@ -9,9 +9,10 @@ share is measured directly:
   full          value_and_grad(loss(render))          — the benchmark step
   fwd           render only (jit)
   pallas_fwd    pack + bin + fused forward pallas_call
-  prepass       pack + bin only (the XLA prepass incl. the argsort)
+  prepass       pack + gathered-binning plan/tables (the real prepass)
+  prepass_chunk pack + legacy chunk binning (comparison)
   pack          triangle pack only
-  bin_nosort    binning hit-matrix + counts only (no argsort)
+  bin_nosort    chunk-binning hit-matrix + counts only (no argsort)
   camera        camera transforms + clip projection only
   noop          jitted identity on the step inputs (dispatch floor)
 
@@ -82,6 +83,12 @@ def soft_stages(scene, size, args):
                                 normals, scene["diffuse"], 0.01)
 
     def prepass_fn(vertices):
+        # The real (gathered-binning) prepass: plan + table assembly +
+        # legacy candidate lists.
+        return sp._prepare_tables(pack_fn(vertices), "gathered", size,
+                                  size, 0, size)
+
+    def prepass_chunk_fn(vertices):
         return sp._bin_chunks(pack_fn(vertices), size, size, 0, size)
 
     def pallas_fwd_fn(vertices):
@@ -96,6 +103,7 @@ def soft_stages(scene, size, args):
         "fwd": jax.jit(fwd_fn),
         "pallas_fwd": jax.jit(pallas_fwd_fn),
         "prepass": jax.jit(prepass_fn),
+        "prepass_chunk": jax.jit(prepass_chunk_fn),
         "pack": jax.jit(pack_fn),
         "camera": jax.jit(clip_of),
         "noop": jax.jit(lambda v: v + 1.0),
@@ -162,6 +170,13 @@ def main():
         return rp._pack_batched(clip_of(vertices), triangles, chunk)
 
     def prepass_fn(vertices):
+        # The real (gathered-binning) prepass: plan + table assembly +
+        # legacy candidate lists over the fallback section.
+        tri_data = rp._pack_batched(clip_of(vertices), triangles, chunk)
+        return rp._prepare_tables(tri_data, None, chunk, size, size, 0,
+                                  size, "gathered")
+
+    def prepass_chunk_fn(vertices):
         tri_data = rp._pack_batched(clip_of(vertices), triangles, chunk)
         return rp._bin_chunks(tri_data, chunk, size, size, 0, size)
 
@@ -203,6 +218,7 @@ def main():
         "fwd": jax.jit(fwd_fn),
         "pallas_fwd": jax.jit(pallas_fwd_fn),
         "prepass": jax.jit(prepass_fn),
+        "prepass_chunk": jax.jit(prepass_chunk_fn),
         "pack": jax.jit(pack_fn),
         "bin_nosort": jax.jit(bin_nosort_fn),
         "camera": jax.jit(clip_of),

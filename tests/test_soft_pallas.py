@@ -372,3 +372,94 @@ def test_silhouette_traced_blur_warns_and_falls_back():
     want = rasterize_silhouette_clip_space_batch(
         clip, tris, SIZE, SIZE, SIGMA, blur_radius=BLUR, config=cfg)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Gathered (triangle-granularity) binning — soft kernels
+# ---------------------------------------------------------------------------
+
+
+def _multi_tile_scene(seed=0, batch=2, vertex_count=24, tri_count=30):
+    from pytorch_mesh_renderer_tpu.ops import camera
+
+    rng = np.random.RandomState(seed)
+    width, height = 48, 40
+    world = jnp.asarray(rng.randn(batch, vertex_count, 3) * 0.5, jnp.float32)
+    tris = jnp.asarray(rng.randint(0, vertex_count, (tri_count, 3)),
+                       jnp.int32)
+    normals = rng.randn(batch, vertex_count, 3).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    normals = jnp.asarray(normals)
+    colors = jnp.asarray(rng.uniform(0.2, 1.0, (batch, vertex_count, 3)),
+                         jnp.float32)
+    lights = jnp.asarray(rng.randn(batch, 2, 3) * 2.0, jnp.float32)
+    intens = jnp.asarray(rng.uniform(0.5, 1.5, (batch, 2)), jnp.float32)
+    eye = jnp.tile(jnp.array([[0.0, 0.0, 3.0]]), (batch, 1))
+    cam = camera.clip_space_transforms(
+        eye, jnp.zeros((batch, 3)), jnp.tile(jnp.array([[0.0, 1.0, 0.0]]),
+                                             (batch, 1)),
+        40.0, 0.01, 10.0, width, height)
+    clip = camera.transform_homogeneous(cam, world)
+    return (clip, world, normals, colors, lights, intens, tris, width,
+            height)
+
+
+def test_soft_gathered_matches_chunk_binning():
+    """Soft gathered binning == chunk binning to f32 accumulation-order
+    tolerance (the additive aggregation visits chunks in a different
+    order), forward and all gradient paths."""
+    from pytorch_mesh_renderer_tpu.ops.soft_rasterize_pallas import (
+        soft_rasterize_pallas_batched)
+
+    (clip, world, normals, colors, lights, intens, tris, width,
+     height) = _multi_tile_scene()
+
+    outs = {}
+    grads = {}
+    for binning in ("gathered", "chunk"):
+        outs[binning] = np.asarray(soft_rasterize_pallas_batched(
+            clip, tris, world, normals, colors, lights, intens, width,
+            height, SIGMA, GAMMA, BLUR, binning=binning))
+
+        def loss(cv, wv, nn, cc, lp, li, sigma, gamma, binning=binning):
+            rgba = soft_rasterize_pallas_batched(
+                cv, tris, wv, nn, cc, lp, li, width, height, sigma, gamma,
+                BLUR, binning=binning)
+            return jnp.sum(jnp.sin(rgba))
+
+        grads[binning] = jax.grad(loss, argnums=tuple(range(8)))(
+            clip, world, normals, colors, lights, intens,
+            jnp.float32(SIGMA), jnp.float32(GAMMA))
+
+    np.testing.assert_allclose(outs["gathered"], outs["chunk"],
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(grads["gathered"], grads["chunk"]):
+        scale = float(np.abs(np.asarray(b)).max()) + 1e-6
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_soft_gathered_cap_fallback_is_exact_partition(monkeypatch):
+    """With a tile cap of 1 the scene splits across the gathered and
+    legacy loops; the additive aggregation must neither drop nor
+    double-count any triangle (values match the unrestricted plan)."""
+    from pytorch_mesh_renderer_tpu.ops import rasterize_pallas as rp
+    from pytorch_mesh_renderer_tpu.ops.soft_rasterize_pallas import (
+        soft_rasterize_pallas_batched)
+
+    (clip, world, normals, colors, lights, intens, tris, width,
+     height) = _multi_tile_scene()
+
+    def render():
+        return np.asarray(soft_rasterize_pallas_batched(
+            clip, tris, world, normals, colors, lights, intens, width,
+            height, SIGMA, GAMMA, BLUR))
+
+    want = render()
+    monkeypatch.setattr(rp, "GATHER_TILE_CAP", 1)
+    np.testing.assert_allclose(render(), want, rtol=1e-5, atol=1e-6)
+    monkeypatch.undo()
+    monkeypatch.setattr(rp, "_gather_budget_rows",
+                        lambda t_pad, n_tiles, chunk: 2 * chunk)
+    np.testing.assert_allclose(render(), want, rtol=1e-5, atol=1e-6)

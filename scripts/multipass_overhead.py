@@ -70,7 +70,7 @@ def main():
     if args.soft:
         from pytorch_mesh_renderer_tpu.ops import soft_rasterize_pallas as mod
         size = min(size, 128)
-        cap = mod.MAX_PALLAS_TRIANGLES
+        cap = mod._max_pass_triangles("gathered")
         triangles = scene["triangles"][:, ::-1].copy()  # CCW
 
         def make_step(tris):
@@ -83,7 +83,7 @@ def main():
             return jax.jit(jax.value_and_grad(loss_fn))
     else:
         from pytorch_mesh_renderer_tpu.ops import rasterize_pallas as mod
-        cap = mod.MAX_PALLAS_TRIANGLES
+        cap = mod._max_pass_triangles("gathered")
         triangles = scene["triangles"]
 
         def make_step(tris):

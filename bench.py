@@ -287,7 +287,7 @@ def estimate_hard_cost(scene, size):
     tri_data = rp._pack_batched(clip, scene["triangles"], chunk)
     # Visit counts from the real gathered-binning prepass: per-tile
     # gathered segment chunks + legacy fallback candidates.
-    _, _, plan, _, counts = rp._prepare_tables(
+    _, _, _, plan, _, counts = rp._prepare_tables(
         tri_data, None, chunk, size, size, 0, size, "gathered")
     pairs = int(jnp.sum(plan[3])) + int(jnp.sum(counts))
     tri_px = pairs * chunk * rp.TILE_H * rp.TILE_W

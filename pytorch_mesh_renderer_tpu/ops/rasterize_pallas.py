@@ -323,8 +323,11 @@ def _build_tables(tri_data, attr_packed, plan, live_col=15, with_id=True):
     kernels' winner identity); the soft kernels aggregate additively with
     no per-triangle identity, so they skip it.
 
-    Returns [B, S + T_pad, W] with W = _ID_COL + 1 (hard bare),
-    _ATTR_COL + attr width (hard fused), or the input width (soft).
+    Returns (table [B, S + T_pad, W], base [B, T_pad, W]) with
+    W = _ID_COL + 1 (hard bare), _ATTR_COL + attr width (hard fused), or
+    the input width (soft). `base` is the pre-section table (full
+    liveness, iota ids) — the hard backward's winner-segment prepass
+    gathers rows from it by original id.
     """
     gather_idx, keep, _, _ = plan
     batch, t_pad, cols = tri_data.shape
@@ -354,7 +357,112 @@ def _build_tables(tri_data, attr_packed, plan, live_col=15, with_id=True):
         # contains them.
         legacy = legacy.at[..., _ID_COL].set(
             jnp.where(keep, -1.0, legacy[..., _ID_COL]))
-    return jnp.concatenate([dup, legacy], axis=1)
+    return jnp.concatenate([dup, legacy], axis=1), base
+
+
+def _winner_plan(ids, bc, chunk, budget_rows, tile_h=None, tile_w=None):
+    """Per-tile WINNER segments for the hard backward (batched).
+
+    The backward only touches triangles that won >= 1 pixel in the tile
+    (the winner masks zero every other row), so its segments can be built
+    from the forward's id image instead of bbox overlaps: per tile, sort
+    the active winner ids, compact first occurrences into a chunk-aligned
+    id-ascending segment. Measured on the bench scenes this visits ~3x
+    fewer chunks than the bbox-gathered segments (losers and occluded
+    triangles drop out). Unlike the forward plan there is no per-triangle
+    cap: every winner is in its tile's segment by construction, so tiles
+    that fit need NO legacy loop at all; tiles beyond the row budget flip
+    to the legacy chunk-binned loop instead (tile_fits mask).
+
+    Returns (gather_idx [B, S] original-triangle ids per slot (-1 dead),
+    start_chunk / n_chunks [B, R, C, 1], tile_fits [B, R, C, 1] bool).
+    """
+    tile_h = TILE_H if tile_h is None else tile_h
+    tile_w = TILE_W if tile_w is None else tile_w
+    batch, height, width = ids.shape
+    n_rows = pl.cdiv(height, tile_h)
+    n_cols = pl.cdiv(width, tile_w)
+    n_tiles = n_rows * n_cols
+    n_pix = tile_h * tile_w
+    big = jnp.iinfo(jnp.int32).max
+
+    active = ~((ids == 0) &
+               (jnp.sum(bc, axis=-1) < DEGENERATE_BARYCENTRIC_CUTOFF))
+    masked = jnp.where(active, ids, big)
+    # [B, R, C, TH*TW] per-tile pixel lists; boundary tiles pad inactive.
+    masked = jnp.pad(masked,
+                     [(0, 0), (0, n_rows * tile_h - height),
+                      (0, n_cols * tile_w - width)], constant_values=big)
+    tiles = masked.reshape(batch, n_rows, tile_h, n_cols, tile_w)
+    tiles = jnp.moveaxis(tiles, 2, 3).reshape(batch, n_tiles, n_pix)
+    s = jnp.sort(tiles, axis=-1)
+    first = (s != big) & jnp.concatenate(
+        [jnp.ones((batch, n_tiles, 1), bool), s[..., 1:] != s[..., :-1]],
+        axis=-1)
+    first_i = first.astype(jnp.int32)
+    counts = jnp.sum(first_i, axis=-1)                     # [B, n_tiles]
+    rank = jnp.cumsum(first_i, axis=-1) - first_i
+    pc = -(-counts // chunk) * chunk
+    ps = jnp.concatenate(
+        [jnp.zeros((batch, 1), jnp.int32), jnp.cumsum(pc, axis=-1)[:, :-1]],
+        axis=-1)
+    tile_fits = ps + pc <= budget_rows
+
+    dst = jnp.where(first & tile_fits[..., None],
+                    ps[..., None] + rank, budget_rows)
+
+    def scatter_one(d, v):
+        return jnp.full((budget_rows,), -1, jnp.int32).at[
+            d.reshape(-1)].set(v.reshape(-1), mode="drop")
+
+    gather_idx = jax.vmap(scatter_one)(dst, s)
+    start_chunk = (jnp.where(tile_fits, ps, 0) // chunk).reshape(
+        batch, n_rows, n_cols, 1)
+    n_chunks = (jnp.where(tile_fits, pc, 0) // chunk).reshape(
+        batch, n_rows, n_cols, 1)
+    return (gather_idx, start_chunk, n_chunks,
+            tile_fits.reshape(batch, n_rows, n_cols, 1))
+
+
+def _prepare_bwd_tables(base, ids, bc, chunk, image_width, image_height,
+                        row_offset, full_height, binning, live_col=15):
+    """Backward-pass tables: winner segments + legacy fallback.
+
+    base is the pre-section table ([B, T_pad, W] with full liveness, iota
+    ids, and — fused — attributes). Winner rows gather base BY ORIGINAL ID
+    (winners may include forward-legacy triangles, so the backward needs no
+    forward plan at all); tiles whose winner segment exceeded the budget
+    instead run the legacy chunk-binned loop over the full-liveness
+    original section (their a_count is 0 and their candidate count is the
+    bbox list's). binning='chunk' routes every tile to the legacy loop —
+    the pre-winner behavior.
+    """
+    batch, t_pad, width = base.shape
+    n_rows = pl.cdiv(image_height, TILE_H)
+    n_cols = pl.cdiv(image_width, TILE_W)
+    if binning == "gathered":
+        budget = _gather_budget_rows(t_pad, n_rows * n_cols, chunk)
+        gather_idx, start_chunk, n_chunks, tile_fits = _winner_plan(
+            ids, bc, chunk, budget)
+    else:
+        gather_idx = jnp.full((batch, chunk), -1, jnp.int32)
+        zeros = jnp.zeros((batch, n_rows, n_cols, 1), jnp.int32)
+        start_chunk, n_chunks = zeros, zeros
+        tile_fits = jnp.zeros((batch, n_rows, n_cols, 1), bool)
+
+    sentinel = jnp.zeros((batch, 1, width), jnp.float32)
+    sentinel = sentinel.at[:, 0, _ID_COL].set(-1.0)
+    ext = jnp.concatenate([base, sentinel], axis=1)
+    src = jnp.where(gather_idx >= 0, gather_idx, t_pad)
+    winner_rows = jnp.take_along_axis(ext, src[..., None], axis=1)
+    table = jnp.concatenate([winner_rows, base], axis=1)
+
+    candidates, counts = _bin_chunks(base, chunk, image_width,
+                                     image_height, row_offset, full_height,
+                                     live_col=live_col)
+    counts = jnp.where(tile_fits, 0, counts)
+    plan = (src, None, start_chunk, n_chunks)
+    return table, gather_idx.shape[1], plan, candidates, counts
 
 
 def _pack_triangle_data(clip_vertices, triangles, chunk):
@@ -699,11 +807,11 @@ def _prepare_tables(tri_data, attr_packed, chunk, image_width, image_height,
                             image_height, row_offset, full_height, budget)
     else:
         plan = _legacy_plan(batch, t_pad, chunk, n_rows, n_cols)
-    table = _build_tables(tri_data, attr_packed, plan)
+    table, base = _build_tables(tri_data, attr_packed, plan)
     s_rows = plan[0].shape[1]
     candidates, counts = _bin_chunks(table[:, s_rows:], chunk, image_width,
                                      image_height, row_offset, full_height)
-    return table, s_rows, plan, candidates, counts
+    return table, base, s_rows, plan, candidates, counts
 
 
 def _forward_from_packed(table, s_rows, plan, candidates, counts,
@@ -986,25 +1094,27 @@ def _pallas_core(clip_vertices, triangles, row_offset, image_width,
 def _fwd(clip_vertices, triangles, row_offset, image_width, image_height,
          full_height, interpret, dot_precision, binning):
     tri_data = _pack_batched(clip_vertices, triangles, TRI_CHUNK)
-    table, s_rows, plan, candidates, counts = _prepare_tables(
+    table, base, s_rows, plan, candidates, counts = _prepare_tables(
         tri_data, None, TRI_CHUNK, image_width, image_height, row_offset,
         full_height, binning)
     out = _forward_from_packed(table, s_rows, plan, candidates, counts,
                                row_offset, image_width, image_height,
                                full_height, interpret)
     ids, bc, _ = out
-    residuals = (jax.lax.stop_gradient(table),
-                 jax.tree_util.tree_map(jax.lax.stop_gradient, plan),
-                 candidates, counts, triangles, clip_vertices.shape[1],
-                 ids, bc, row_offset)
+    # The backward rebuilds its own (winner-segment) tables from `base` —
+    # the forward's gathered table and plan are not needed again.
+    residuals = (jax.lax.stop_gradient(base), triangles,
+                 clip_vertices.shape[1], ids, bc, row_offset)
     return out, residuals
 
 
 def _bwd(image_width, image_height, full_height, interpret, dot_precision,
          binning, residuals, cotangents):
-    (table, plan, candidates, counts, triangles, vertex_count, ids, bc,
-     row_offset) = residuals
+    base, triangles, vertex_count, ids, bc, row_offset = residuals
     _, df_dbc, _ = cotangents
+    table, s_rows, plan, candidates, counts = _prepare_bwd_tables(
+        base, ids, bc, TRI_CHUNK, image_width, image_height, row_offset,
+        full_height, binning)
     df_dvertices = _backward_pallas(
         table, plan, candidates, counts, triangles, vertex_count, ids, bc,
         df_dbc, row_offset, image_width, image_height, full_height,
@@ -1544,7 +1654,7 @@ def _interp_fwd(clip_vertices, attributes, triangles, row_offset,
     a_pad = _pad_attr_count(a)
     attr_packed = _pack_corner_attributes(attributes, triangles, a_pad,
                                           tri_data.shape[1])
-    table, s_rows, plan, candidates, counts = _prepare_tables(
+    table, base, s_rows, plan, candidates, counts = _prepare_tables(
         tri_data, attr_packed, chunk, image_width, image_height,
         row_offset, full_height, binning)
     ids, bc, z, attrs = _forward_fused(
@@ -1553,21 +1663,25 @@ def _interp_fwd(clip_vertices, attributes, triangles, row_offset,
         dot_precision, with_z=with_z)
     attr_images = jnp.moveaxis(attrs, 1, -1)[..., :a]  # [B, H, W, A]
     out = (ids, bc, attr_images) + ((z,) if with_z else ())
-    residuals = (jax.lax.stop_gradient(table),
-                 jax.tree_util.tree_map(jax.lax.stop_gradient, plan),
-                 candidates, counts, triangles,
+    # The backward rebuilds its own (winner-segment) tables from `base` —
+    # the forward's gathered table and plan are not needed again.
+    residuals = (jax.lax.stop_gradient(base), triangles,
                  clip_vertices.shape[1], a, ids, bc, row_offset)
     return out, residuals
 
 
 def _interp_bwd(image_width, image_height, full_height, interpret, with_z,
                 dot_precision, binning, residuals, cotangents):
-    (table, plan, candidates, counts, triangles, vertex_count,
-     attribute_count, ids, bc, row_offset) = residuals
+    (base, triangles, vertex_count, attribute_count, ids, bc,
+     row_offset) = residuals
     # Any z cotangent is discarded: the kernel produces no vertex-z gradient
     # (cpp:232-269 property) and z feeds only stop-gradient-style winner
     # selection in the multi-pass merge.
     _, df_dbc, df_dattr = cotangents[0], cotangents[1], cotangents[2]
+    chunk = _fused_chunk_for(np.shape(triangles)[-2])
+    table, s_rows, plan, candidates, counts = _prepare_bwd_tables(
+        base, ids, bc, chunk, image_width, image_height, row_offset,
+        full_height, binning)
     df_dvertices, df_dattributes = _backward_fused(
         table, plan, candidates, counts, triangles, vertex_count,
         attribute_count, ids, bc, df_dbc, df_dattr, row_offset,

@@ -248,8 +248,8 @@ def _prepare_tables(tri_data, binning, image_width, image_height,
     else:
         plan = hard_pallas._legacy_plan(batch, t_pad, TRI_CHUNK, n_rows,
                                         n_cols)
-    table = hard_pallas._build_tables(tri_data, None, plan, live_col=21,
-                                      with_id=False)
+    table, _ = hard_pallas._build_tables(tri_data, None, plan, live_col=21,
+                                         with_id=False)
     s_rows = plan[0].shape[1]
     candidates, counts = _bin_chunks(table[:, s_rows:], image_width,
                                      image_height, row_offset, full_height)

@@ -524,3 +524,45 @@ def test_gathered_cap_and_budget_fallback(monkeypatch):
     for a, b in zip(grad(), want_g):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_winner_plan_invariants():
+    """Backward winner segments contain exactly each tile's unique active
+    winner ids, ascending, chunk-aligned; fallback tiles are flagged."""
+    from pytorch_mesh_renderer_tpu.ops import rasterize_pallas as rp
+
+    width, height = 48, 40
+    verts, tris, _, cam, _ = _random_scene(tri_count=37, width=width,
+                                           height=height)
+    clip = camera.transform_homogeneous(cam, verts)
+    ids, bc, _ = rp.rasterize_barycentric_pallas_batched(clip, tris, width,
+                                                         height)
+    chunk = rp.TRI_CHUNK
+    batch = ids.shape[0]
+    t_pad = -(-tris.shape[0] // chunk) * chunk
+    n_rows = -(-height // rp.TILE_H)
+    n_cols = -(-width // rp.TILE_W)
+    budget = rp._gather_budget_rows(t_pad, n_rows * n_cols, chunk)
+    g, start_c, n_c, fits = [np.asarray(x) for x in rp._winner_plan(
+        ids, bc, chunk, budget)]
+
+    ids_np = np.asarray(ids)
+    active = ~((ids_np == 0) & (np.asarray(bc).sum(-1)
+                                < rp.DEGENERATE_BARYCENTRIC_CUTOFF))
+    for b in range(batch):
+        for r in range(n_rows):
+            for c in range(n_cols):
+                s = start_c[b, r, c, 0] * chunk
+                n = n_c[b, r, c, 0] * chunk
+                seg = g[b, s:s + n]
+                got = seg[seg >= 0]
+                assert np.all(np.diff(got) > 0)
+                t = ids_np[b, r*rp.TILE_H:(r+1)*rp.TILE_H,
+                           c*rp.TILE_W:(c+1)*rp.TILE_W]
+                a = active[b, r*rp.TILE_H:(r+1)*rp.TILE_H,
+                           c*rp.TILE_W:(c+1)*rp.TILE_W]
+                want = np.unique(t[a])
+                if fits[b, r, c, 0]:
+                    np.testing.assert_array_equal(got, want)
+                else:
+                    assert n == 0

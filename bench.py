@@ -410,6 +410,62 @@ def bench_pose(steps, size):
     return steps / dt, float(loss), np.asarray(angles)
 
 
+def _probe_gathered_binning(platform):
+    """Compile-probe the gathered-binning kernels; fall back to chunk mode.
+
+    The gathered prepass/kernels are parity-tested in interpreter mode on
+    CPU, but interpret mode does not check Mosaic layout rules (see
+    CLAUDE.md); if the compiled kernels were ever rejected on a new
+    toolchain, the benchmark should degrade LOUDLY to the bit-identical
+    chunk-binning mode rather than die.
+    """
+    if platform != "tpu":
+        return
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_mesh_renderer_tpu import config as config_lib
+    from pytorch_mesh_renderer_tpu.ops import camera
+    from pytorch_mesh_renderer_tpu.ops import rasterize_pallas as rp
+    from pytorch_mesh_renderer_tpu.ops import soft_rasterize_pallas as sp
+    from pytorch_mesh_renderer_tpu.models import shapes
+
+    v, t, n = (jnp.asarray(a) for a in shapes.sphere(1.0, resolution=6))
+    clip = camera.transform_homogeneous(
+        camera.clip_space_transforms(
+            jnp.array([[0.0, 0.0, 3.0]]), jnp.zeros([1, 3]),
+            jnp.array([[0.0, 1.0, 0.0]]), jnp.full([1], 40.0),
+            jnp.full([1], 0.01), jnp.full([1], 10.0), 32, 32),
+        v[None])
+    try:
+        tris = jnp.asarray(np.asarray(t)[:, ::-1].copy(), jnp.int32)
+        attrs = jnp.concatenate([n[None], v[None], jnp.ones_like(v)[None]],
+                                axis=-1)
+
+        def probe(c, a):
+            _, bc, ai = rp.rasterize_interpolate_pallas_batched(
+                c, a, tris, 32, 32)
+            return jnp.sum(bc ** 2) + jnp.sum(ai ** 2)
+
+        jax.block_until_ready(jax.grad(probe)(clip, attrs))
+        rgba = sp.soft_rasterize_pallas_batched(
+            clip, jnp.asarray(t, jnp.int32), v[None], n[None],
+            jnp.ones_like(v)[None], jnp.ones([1, 1, 3]), jnp.ones([1, 1]),
+            32, 32, 1e-4, 1e-3)
+        jax.block_until_ready(rgba)
+    except Exception as e:  # pragma: no cover - toolchain regression path
+        warnings.warn(
+            "gathered-binning kernels failed to compile on TPU "
+            f"({type(e).__name__}: {e}); benchmarking the bit-identical "
+            "chunk-binning mode instead", RuntimeWarning)
+        config_lib.HARD_CONFIG = config_lib.HardRasterizerConfig(
+            binning="chunk")
+        config_lib.SOFT_CONFIG = config_lib.SoftRasterizerConfig(
+            binning="chunk")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--size", type=int, default=256)
@@ -444,6 +500,8 @@ def main():
 
     import jax
     platform = jax.devices()[0].platform
+
+    _probe_gathered_binning(platform)
 
     if args.soft_sweep:
         bench_soft_sweep(args.batch, 128, args.iters, platform)

@@ -566,3 +566,51 @@ def test_winner_plan_invariants():
                     np.testing.assert_array_equal(got, want)
                 else:
                     assert n == 0
+
+
+def test_gathered_unbounded_bbox_vertex_behind_camera():
+    """A vertex at w <= eps makes the packed bbox full-screen (the
+    conservative fallback, cpp:338-341 semantics): under gathered binning
+    such triangles exceed the tile cap and must route through the legacy
+    loop — forward and gradients still match the XLA spec exactly."""
+    # Irregular coordinates keep pixel centers off exact triangle edges
+    # (edge pixels flip on 1-ulp cross-compilation differences — the same
+    # sensitivity the reference's golden tests absorb with an outlier
+    # budget).
+    clip = jnp.asarray(np.array([
+        # behind-camera vertex (negative w) + two in front
+        [[-0.5137, -0.5071, 0.0, 1.0], [0.8093, -0.4039, 0.0, -0.7],
+         [0.0171, 0.8117, 0.0, 1.2],
+         # a regular fully-visible triangle
+         [-0.9059, -0.9133, 0.2, 1.0], [0.9071, -0.9087, 0.2, 1.0],
+         [0.0143, 0.9059, 0.2, 1.0]],
+    ], np.float32))
+    tris = jnp.asarray([[0, 1, 2], [3, 4, 5]], np.int32)
+    width, height = 48, 40
+
+    from pytorch_mesh_renderer_tpu.ops import rasterize_pallas as rp
+    from pytorch_mesh_renderer_tpu.ops.rasterize_xla import (
+        rasterize_barycentric_xla)
+
+    ids_p, bc_p, z_p = rp.rasterize_barycentric_pallas_batched(
+        clip, tris, width, height)
+    ids_x, bc_x, z_x = rasterize_barycentric_xla(clip[0], tris, width,
+                                                 height)
+    np.testing.assert_array_equal(np.asarray(ids_p[0]), np.asarray(ids_x))
+    np.testing.assert_allclose(np.asarray(bc_p[0]), np.asarray(bc_x),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(z_p[0]), np.asarray(z_x),
+                               atol=1e-6)
+
+    def loss(rast, c):
+        _, bc, _ = rast(c)
+        return jnp.sum(bc ** 2)
+
+    g_p = jax.grad(lambda c: loss(
+        lambda cc: rp.rasterize_barycentric_pallas_batched(
+            cc, tris, width, height), c))(clip)
+    g_x = jax.grad(lambda c: loss(
+        lambda cc: jax.vmap(lambda one: rasterize_barycentric_xla(
+            one, tris, width, height))(cc), c))(clip)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                               rtol=1e-5, atol=1e-6)

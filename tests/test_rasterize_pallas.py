@@ -614,3 +614,28 @@ def test_gathered_unbounded_bbox_vertex_behind_camera():
             one, tris, width, height))(cc), c))(clip)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed,width,height", [
+    (1, 48, 40),     # boundary-padded rows
+    (2, 144, 24),    # two tile columns, padded both dims
+    (3, 128, 32),    # exact tile multiples
+])
+def test_gathered_matches_chunk_fuzz(seed, width, height):
+    """Forward bit-parity gathered vs chunk across geometry seeds and
+    tile-divisible / non-divisible image shapes."""
+    from pytorch_mesh_renderer_tpu.ops import rasterize_pallas as rp
+
+    verts, tris, attrs, cam, _ = _random_scene(seed=seed, tri_count=40,
+                                               width=width, height=height)
+    clip = camera.transform_homogeneous(cam, verts)
+    outs = {}
+    for binning in ("gathered", "chunk"):
+        outs[binning] = (
+            [np.asarray(x) for x in rp.rasterize_barycentric_pallas_batched(
+                clip, tris, width, height, binning=binning)]
+            + [np.asarray(x) for x in rp.rasterize_interpolate_pallas_batched(
+                clip, attrs, tris, width, height, spatial_sort=False,
+                binning=binning)])
+    for a, b in zip(outs["gathered"], outs["chunk"]):
+        np.testing.assert_array_equal(a, b)

@@ -450,11 +450,21 @@ def _probe_gathered_binning(platform):
             return jnp.sum(bc ** 2) + jnp.sum(ai ** 2)
 
         jax.block_until_ready(jax.grad(probe)(clip, attrs))
-        rgba = sp.soft_rasterize_pallas_batched(
-            clip, jnp.asarray(t, jnp.int32), v[None], n[None],
-            jnp.ones_like(v)[None], jnp.ones([1, 1, 3]), jnp.ones([1, 1]),
-            32, 32, 1e-4, 1e-3)
-        jax.block_until_ready(rgba)
+
+        def probe_soft(c):  # forward AND backward kernels
+            rgba = sp.soft_rasterize_pallas_batched(
+                c, jnp.asarray(t, jnp.int32), v[None], n[None],
+                jnp.ones_like(v)[None], jnp.ones([1, 1, 3]),
+                jnp.ones([1, 1]), 32, 32, 1e-4, 1e-3)
+            return jnp.sum(rgba ** 2)
+
+        def probe_sil(c):  # silhouette fwd + bwd kernels
+            alpha = sp.soft_rasterize_silhouette_pallas_batched(
+                c, jnp.asarray(t, jnp.int32), 32, 32, 1e-4)
+            return jnp.sum(alpha ** 2)
+
+        jax.block_until_ready(jax.grad(probe_soft)(clip))
+        jax.block_until_ready(jax.grad(probe_sil)(clip))
     except Exception as e:  # pragma: no cover - toolchain regression path
         warnings.warn(
             "gathered-binning kernels failed to compile on TPU "

@@ -348,15 +348,12 @@ def _build_tables(tri_data, attr_packed, plan, live_col=15, with_id=True):
         sentinel = sentinel.at[:, 0, _ID_COL].set(-1.0)
     ext = jnp.concatenate([base, sentinel], axis=1)
     dup = jnp.take_along_axis(ext, gather_idx[..., None], axis=1)
+    # Kept triangles' legacy rows are dead (live 0); their ids can stay —
+    # dead rows can never win (valid requires live > 0, and winner masks
+    # derive from validity), and the backward rebuilds its own tables from
+    # `base` rather than reading this one.
     legacy = base.at[..., live_col].multiply(
         1.0 - keep.astype(jnp.float32))
-    if with_id:
-        # Kept triangles' legacy rows are dead; also blank their ids, or
-        # the backward's purely id-based winner masks would re-count them
-        # when a legacy candidate chunk (binned for overflow neighbors)
-        # contains them.
-        legacy = legacy.at[..., _ID_COL].set(
-            jnp.where(keep, -1.0, legacy[..., _ID_COL]))
     return jnp.concatenate([dup, legacy], axis=1), base
 
 

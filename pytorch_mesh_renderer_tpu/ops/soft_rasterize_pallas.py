@@ -1036,7 +1036,7 @@ def soft_rasterize_silhouette_pallas_batched(
     geometry phase, same coverage product) but skips the shading/softmax
     math entirely, and its backward reduces only the 6 edge-endpoint
     columns + dsigma. sigma is a traced, differentiable scalar; gamma does
-    not enter the silhouette. Meshes beyond MAX_PALLAS_TRIANGLES compose
+    not enter the silhouette. Meshes beyond the per-pass cap compose
     multiplicatively across passes (alpha = 1 - prod_p(1 - alpha_p) —
     exact, gradients included).
     """
@@ -1332,7 +1332,7 @@ def soft_rasterize_pallas_batched(clip_space_vertices, triangles,
     if n_tri <= max_tris:
         return one_pass(tris, False)
 
-    # Multi-pass: render <= MAX_PALLAS_TRIANGLES triangles per pass and
+    # Multi-pass: render <= max_tris triangles per pass and
     # merge the online-softmax states exactly. Per pass p (in its own
     # running-max frame m_p): the in-frame color sum is recovered as
     # rgb_p * (sumw_p + bg_p) (the background contributes no color), all

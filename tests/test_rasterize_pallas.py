@@ -267,6 +267,7 @@ def test_soft_multi_pass_large_mesh_matches_single_pass(monkeypatch):
         clip, world, normals, colors, lights, intens, sigma, gamma)
 
     monkeypatch.setattr(sp, "MAX_PALLAS_TRIANGLES", 1)  # -> 2 passes
+    monkeypatch.setattr(sp, "MAX_GATHERED_TRIANGLES", 1)
     got = np.asarray(render())
     np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
 
@@ -581,16 +582,28 @@ def test_gathered_unbounded_bbox_vertex_behind_camera():
         # behind-camera vertex (negative w) + two in front
         [[-0.5137, -0.5071, 0.0, 1.0], [0.8093, -0.4039, 0.0, -0.7],
          [0.0171, 0.8117, 0.0, 1.2],
-         # a regular fully-visible triangle
-         [-0.9059, -0.9133, 0.2, 1.0], [0.9071, -0.9087, 0.2, 1.0],
-         [0.0143, 0.9059, 0.2, 1.0]],
+         # a small fully-visible triangle (stays on the gathered path)
+         [-0.2059, -0.2133, 0.2, 1.0], [0.2071, -0.2087, 0.2, 1.0],
+         [0.0143, 0.2059, 0.2, 1.0]],
     ], np.float32))
     tris = jnp.asarray([[0, 1, 2], [3, 4, 5]], np.int32)
-    width, height = 48, 40
+    # 2 x 5 = 10 tiles > GATHER_TILE_CAP, so the full-screen fallback bbox
+    # really exceeds the cap (smaller test images fit 8 tiles and would
+    # keep the triangle on the gathered path, pinning nothing).
+    width, height = 256, 80
 
     from pytorch_mesh_renderer_tpu.ops import rasterize_pallas as rp
     from pytorch_mesh_renderer_tpu.ops.rasterize_xla import (
         rasterize_barycentric_xla)
+
+    # Pin the routing itself: the behind-camera triangle must be a legacy
+    # (keep=False) fallback, the regular one gathered.
+    tri_data = rp._pack_batched(clip, tris, rp.TRI_CHUNK)
+    n_tiles = (height // rp.TILE_H) * (-(-width // rp.TILE_W))
+    _, keep, _, _ = rp._gather_plan(
+        tri_data[:, :, 15:20], rp.TRI_CHUNK, width, height, 0, height,
+        rp._gather_budget_rows(tri_data.shape[1], n_tiles, rp.TRI_CHUNK))
+    assert not bool(keep[0, 0]) and bool(keep[0, 1])
 
     ids_p, bc_p, z_p = rp.rasterize_barycentric_pallas_batched(
         clip, tris, width, height)

@@ -310,6 +310,7 @@ def test_silhouette_multi_pass_matches_single(monkeypatch):
     (one, alpha_one), g_one = jax.value_and_grad(
         alpha_sum, has_aux=True)(clip)
     monkeypatch.setattr(sp, "MAX_PALLAS_TRIANGLES", 16)
+    monkeypatch.setattr(sp, "MAX_GATHERED_TRIANGLES", 16)
     (multi, alpha_multi), g_multi = jax.value_and_grad(
         alpha_sum, has_aux=True)(clip)
     np.testing.assert_allclose(np.asarray(alpha_multi),

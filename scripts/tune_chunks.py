@@ -41,6 +41,9 @@ def main():
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--chunks", type=int, nargs="*",
                         default=[8, 16, 32])
+    parser.add_argument("--tile-h", type=int, default=None,
+                        help="override TILE_H (exact binning may favor "
+                             "8 where chunk-union slack favored 16)")
     args = parser.parse_args()
 
     import jax
@@ -57,6 +60,10 @@ def main():
     else:
         batch, size, sphere = 4, (128 if args.soft else 256), None
     scene = bench.build_scene(batch, size, sphere)
+
+    if args.tile_h:
+        rp.TILE_H = args.tile_h
+        sp.TILE_H = args.tile_h
 
     results = {}
     for chunk in args.chunks:

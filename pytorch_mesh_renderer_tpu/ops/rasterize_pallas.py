@@ -360,9 +360,12 @@ def _build_tables(tri_data, attr_packed, plan, live_col=15, with_id=True):
 def _winner_plan(ids, bc, chunk, budget_rows, tile_h=None, tile_w=None):
     """Per-tile WINNER segments for the hard backward (batched).
 
-    The backward only touches triangles that won >= 1 pixel in the tile
-    (the winner masks zero every other row), so its segments can be built
-    from the forward's id image instead of bbox overlaps: per tile, sort
+    The reference backward iterates covered pixels and accumulates into
+    each pixel's winning triangle (rasterize_triangles.cpp:156-269); the
+    TPU analogue of that "winners only" property is segment construction
+    from the id image. The backward only touches triangles that won >= 1
+    pixel in the tile (the winner masks zero every other row), so its
+    segments can be built from the forward's id image: per tile, sort
     the active winner ids, compact first occurrences into a chunk-aligned
     id-ascending segment. Measured on the bench scenes this visits ~3x
     fewer chunks than the bbox-gathered segments (losers and occluded

@@ -398,16 +398,28 @@ def bench_pose(steps, size):
         updates, opt_state = opt.update(g, opt_state)
         return optax.apply_updates(angles, updates), opt_state, loss
 
+    # The whole optimization runs as ONE lax.scan under jit — the idiomatic
+    # JAX training loop (a per-step python loop re-dispatches 500 times and
+    # measures host latency, not the chip; measured r3 it dominated:
+    # 1.5k-3.3k steps/sec dispatch-bound and +-20% noisy).
+    @jax.jit
+    def run(angles, opt_state):
+        def body(carry, _):
+            a, s = carry
+            a, s, loss = step(a, s)
+            return (a, s), loss
+        (angles, _), ls = jax.lax.scan(body, (angles, opt_state), None,
+                                       length=steps)
+        return angles, ls[-1]
+
     angles = jnp.zeros(3)
     opt_state = opt.init(angles)
-    angles, opt_state, loss = step(angles, opt_state)  # compile
-    jax.block_until_ready(loss)
+    jax.block_until_ready(run(angles, opt_state))  # compile
     t0 = time.perf_counter()
-    for _ in range(steps):
-        angles, opt_state, loss = step(angles, opt_state)
+    out_angles, loss = run(angles, opt_state)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
-    return steps / dt, float(loss), np.asarray(angles)
+    return steps / dt, float(loss), np.asarray(out_angles)
 
 
 def _probe_gathered_binning(platform):

@@ -338,7 +338,22 @@ def bench_soft_sweep(batch, size, iters, platform):
             size, sigma_val=sigma, gamma_val=gamma)
         return jnp.mean(images[..., 3] ** 2)
 
-    step = jax.jit(jax.value_and_grad(loss_fn))
+    step = jax.value_and_grad(loss_fn)
+
+    # The 12-triangle cube leaves the chip mostly idle, so per-step python
+    # dispatch dominated and spread the r2/r3 grids +-20%; scanning the
+    # iters inside ONE jit (an annealing loop's real shape — sigma/gamma
+    # are traced, so the grid still reuses one executable) measures the
+    # kernels instead of the host.
+    @jax.jit
+    def run(v, sigma, gamma):
+        def body(vv, _):
+            loss, g = step(vv, sigma, gamma)
+            # 1e-30-scaled update: a real data dependence (XLA cannot hoist
+            # the loop-invariant step out of the scan) with no measurable
+            # effect on the values.
+            return vv + 1e-30 * g, loss
+        return jax.lax.scan(body, v, None, length=iters)[1][-1]
 
     saturation_sigma = float(-(0.5 ** 2) / np.log(1e-3 / (1 - 1e-3)))
     sigmas = [1e-5, 1e-4, saturation_sigma]
@@ -347,12 +362,9 @@ def bench_soft_sweep(batch, size, iters, platform):
         for gamma in gammas:
             s = jnp.float32(sigma)
             g = jnp.float32(gamma)
-            out = step(vertices, s, g)
-            jax.block_until_ready(out)
+            jax.block_until_ready(run(vertices, s, g))
             t0 = time.perf_counter()
-            for _ in range(iters):
-                out = step(vertices, s, g)
-            jax.block_until_ready(out)
+            jax.block_until_ready(run(vertices, s, g))
             dt = time.perf_counter() - t0
             print(json.dumps({
                 "metric": (f"soft fwd+bwd renders/sec @ {size}^2 (cube, "

@@ -44,6 +44,9 @@ def main():
     parser.add_argument("--tile-h", type=int, default=None,
                         help="override TILE_H (exact binning may favor "
                              "8 where chunk-union slack favored 16)")
+    parser.add_argument("--size", type=int, default=None,
+                        help="override the image size (CPU smoke tests)")
+    parser.add_argument("--batch", type=int, default=None)
     args = parser.parse_args()
 
     import jax
@@ -59,6 +62,10 @@ def main():
         batch, size, sphere = 64, 512, 72
     else:
         batch, size, sphere = 4, (128 if args.soft else 256), None
+    if args.size:
+        size = args.size
+    if args.batch:
+        batch = args.batch
     scene = bench.build_scene(batch, size, sphere)
 
     if args.tile_h:

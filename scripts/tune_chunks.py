@@ -7,6 +7,14 @@ longer exists: under the gathered plan a bigger chunk only costs per-tile
 segment padding (count rounds up to a chunk multiple) while saving loop
 iterations. This script re-times the bench steps across chunk sizes.
 
+CPU-measured pair counts (2026-08-18, gathered plan, zero legacy overflow
+on the teapot configs): lane work (pairs*chunk) is nearly FLAT in chunk —
+headline 12.9k->13.8k lanes from chunk 4->32, soft-128 5.7k->5.9k, stress
++22% over the same range — while the per-chunk iteration count halves per
+doubling. Segment padding is thus almost free and larger chunks amortize
+the per-iteration flush: sweep 8/16/32/64, expect >=32 to win on the
+teapot configs and 16-32 on stress (where padding costs more).
+
 Usage: python scripts/tune_chunks.py [--soft] [--stress] [--iters 30]
 One TPU job at a time (see CLAUDE.md).
 """

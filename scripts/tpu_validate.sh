@@ -21,6 +21,9 @@ step hard_native env MESH_RENDERER_TEST_PLATFORM=native \
   python -m pytest tests/test_rasterize_pallas.py -q
 step soft_native env MESH_RENDERER_TEST_PLATFORM=native \
   python -m pytest tests/test_soft_pallas.py -q
+step tune_hard python scripts/tune_chunks.py --chunks 8 16 32 64
+step tune_stress python scripts/tune_chunks.py --stress --chunks 8 16 32 64
+step tune_soft python scripts/tune_chunks.py --soft --chunks 8 16 32 64
 step bench_headline python bench.py
 step bench_stress python bench.py --stress
 step bench_soft128 python bench.py --soft --size 128

@@ -107,7 +107,13 @@ def main():
                 return jnp.mean(images[..., :3] ** 2)
 
         step = jax.jit(jax.value_and_grad(loss_fn))
-        dt = time_step(step, (scene["vertices"],), args.iters)
+        try:
+            dt = time_step(step, (scene["vertices"],), args.iters)
+        except Exception as e:  # keep sweeping: one Mosaic/VMEM failure
+            results[chunk] = None  # must not cost the remaining points
+            print(f"chunk {chunk:3d}: FAILED ({type(e).__name__}: "
+                  f"{str(e)[:200]})", flush=True)
+            continue
         rps = batch / dt
         results[chunk] = round(rps, 1)
         print(f"chunk {chunk:3d}: {dt * 1e3:8.3f} ms/step "

@@ -265,6 +265,16 @@ def test_init_distributed_single_process_subprocess():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    # Run with -S (no sitecustomize): the environment's sitecustomize may
+    # register a TPU PJRT plugin whose client creation blocks when the
+    # device tunnel is down, hanging jax.distributed.initialize's backend
+    # discovery even under JAX_PLATFORMS=cpu. This test is about the
+    # distributed-init API on CPU, so bypass site hooks deterministically.
+    # -S drops site-packages from sys.path; restore it via PYTHONPATH.
+    import sysconfig
+    purelib = sysconfig.get_paths()["purelib"]
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo, purelib] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
     code = (
         "from pytorch_mesh_renderer_tpu import parallel\n"
         "parallel.init_distributed(coordinator_address='localhost:12321',"
@@ -278,7 +288,7 @@ def test_init_distributed_single_process_subprocess():
         "assert mesh.shape == {'data': n, 'space': 1}, mesh.shape\n"
         "print('DIST_OK')\n")
     result = subprocess.run(
-        [sys.executable, "-c", code], cwd=repo, env=env,
+        [sys.executable, "-S", "-c", code], cwd=repo, env=env,
         capture_output=True, text=True, timeout=300)
     assert result.returncode == 0, (
         f"stdout:\n{result.stdout}\nstderr:\n{result.stderr}")

@@ -29,6 +29,8 @@ step bench_stress python bench.py --stress
 step bench_soft128 python bench.py --soft --size 128
 step bench_sil128 python bench.py --soft --silhouette --size 128
 step bench_soft256 python bench.py --soft --size 256
+step bench_pose python bench.py --pose
+step bench_soft_sweep python bench.py --soft-sweep
 step multipass_hard python scripts/multipass_overhead.py
 step multipass_soft python scripts/multipass_overhead.py --soft
 echo "=== DONE ($(date +%H:%M:%S)) ==="

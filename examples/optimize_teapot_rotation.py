@@ -30,6 +30,11 @@ def main():
                         default="teapot_rotation.mp4")
     parser.add_argument("--out-plot", type=str,
                         default="teapot_rotation_loss.png")
+    parser.add_argument("--scan-chunk", type=int, default=None,
+                        help="run N optimizer steps per device dispatch "
+                             "(lax.scan via parallel.make_train_loop) — "
+                             "amortizes the ~0.5 ms/step host dispatch "
+                             "floor; one video frame / log line per chunk")
     args = parser.parse_args()
 
     from pytorch_mesh_renderer_tpu.models import (mesh_renderer,
@@ -78,12 +83,24 @@ def main():
 
     video = common.VideoWriter(args.out_video)
     history = []
-    for i in range(args.steps):
-        angles, opt_state, loss = step(angles, opt_state)
-        history.append(float(loss))
-        video.append(np.asarray(render_jit(angles)))
-        if i % 10 == 0:
-            print(f"step {i}: loss {history[-1]:.5f}")
+    if args.scan_chunk:
+        from pytorch_mesh_renderer_tpu import parallel
+        loop = parallel.make_train_loop(
+            lambda a, batch: losses.image_l1_loss(render(a), batch),
+            opt, steps_per_call=args.scan_chunk)
+        for i in range(0, args.steps, args.scan_chunk):
+            angles, opt_state, chunk_losses = loop(angles, opt_state, target)
+            history.extend(np.asarray(chunk_losses).tolist())
+            video.append(np.asarray(render_jit(angles)))
+            print(f"step {min(i + args.scan_chunk, args.steps) - 1}: "
+                  f"loss {history[-1]:.5f}")
+    else:
+        for i in range(args.steps):
+            angles, opt_state, loss = step(angles, opt_state)
+            history.append(float(loss))
+            video.append(np.asarray(render_jit(angles)))
+            if i % 10 == 0:
+                print(f"step {i}: loss {history[-1]:.5f}")
     video.close()
     common.save_loss_plot(args.out_plot, history)
     print(f"final angles {np.asarray(angles).round(4)} "

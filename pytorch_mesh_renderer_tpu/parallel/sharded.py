@@ -214,3 +214,44 @@ def make_train_step(loss_fn, optimizer, donate=True):
         return params, opt_state, loss
 
     return step
+
+
+def make_train_loop(loss_fn, optimizer, steps_per_call, donate=True):
+    """Like `make_train_step`, but runs `steps_per_call` optimizer steps in
+    ONE dispatch via `lax.scan`.
+
+    Why: a jitted no-op round-trip costs ~0.5 ms on this host (BENCH.md
+    step-time breakdown), so per-step Python loops bound small-scene
+    optimization at ~2k steps/s no matter how fast the kernels are. Scanning
+    K steps inside one executable amortizes that floor K-fold — the
+    TPU-idiomatic training loop (vs the reference's eager per-step loops,
+    src/examples/example5.py:60-90). Host-side logging granularity becomes
+    one loss vector per call, which is why K is a caller knob rather than
+    the whole schedule: call the loop in chunks and log between chunks.
+
+    Returns:
+      loop(params, opt_state, batch) -> (params, opt_state, losses) where
+      `losses` has shape [steps_per_call] (per-step, in order). Semantics
+      are exactly `steps_per_call` applications of `make_train_step`'s step
+      with a fixed batch.
+    """
+    if optimizer is None:
+        raise ValueError("optimizer is required (e.g. optax.adam(1e-2)).")
+    if steps_per_call < 1:
+        raise ValueError("steps_per_call must be >= 1")
+
+    donate_argnums = (0, 1) if donate else ()
+
+    @functools.partial(jax.jit, donate_argnums=donate_argnums)
+    def loop(params, opt_state, batch):
+        def body(carry, _):
+            p, s = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, batch)
+            updates, s = optimizer.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=steps_per_call)
+        return params, opt_state, losses
+
+    return loop

@@ -145,6 +145,52 @@ def test_spmd_train_step_reduces_loss():
     assert losses[-1] < losses[0]
 
 
+def test_spmd_train_loop_matches_steps():
+    """make_train_loop(K) == K applications of make_train_step (one
+    dispatch instead of K — the ~0.5 ms/step host-floor amortization)."""
+    import optax
+
+    verts, tris, attrs, cams = _cube_scene(batch=4)
+    background = np.zeros([3], np.float32)
+    m = parallel.make_mesh(data=4, space=2)
+    target = rasterize(verts, attrs, tris, cams, 16, 16, background)
+
+    def loss_fn(params, batch):
+        v = batch["verts"] + params["offset"]
+        img = parallel.sharded_rasterize(
+            m, v, attrs, tris, batch["cams"], 16, 16, background)
+        return jnp.mean(jnp.abs(img - batch["target"]))
+
+    opt = optax.adam(5e-3)
+    batch = parallel.shard_batch(
+        m, {"verts": verts, "cams": cams, "target": target})
+
+    def init():
+        params = parallel.replicate(m, {"offset": jnp.full([1, 1, 3], 0.05)})
+        return params, opt.init(params)
+
+    step = parallel.make_train_step(loss_fn, opt)
+    params_a, state_a = init()
+    step_losses = []
+    for _ in range(5):
+        params_a, state_a, loss = step(params_a, state_a, batch)
+        step_losses.append(float(loss))
+
+    loop = parallel.make_train_loop(loss_fn, opt, steps_per_call=5)
+    params_b, state_b = init()
+    params_b, state_b, losses = loop(params_b, state_b, batch)
+
+    assert losses.shape == (5,)
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(step_losses),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(params_b["offset"]),
+                               np.asarray(params_a["offset"]),
+                               rtol=1e-6, atol=1e-7)
+    # A second call continues from the donated carry without retracing.
+    params_b, state_b, losses2 = loop(params_b, state_b, batch)
+    assert float(losses2[-1]) < float(losses[0])
+
+
 @needs_8_devices
 def test_sharded_soft_rasterize_gradients_match():
     """Soft sharded gradients (batch + pixel-row psums through shard_map)

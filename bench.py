@@ -402,36 +402,27 @@ def bench_pose(steps, size):
     target = render_alpha(jnp.array([-0.35, 0.0, 1.05]))
     opt = optax.adam(5e-2)
 
-    @jax.jit
-    def step(angles, opt_state):
-        def loss_fn(a):
-            return 1.0 - losses.silhouette_iou(render_alpha(a), target)
-        loss, g = jax.value_and_grad(loss_fn)(angles)
-        updates, opt_state = opt.update(g, opt_state)
-        return optax.apply_updates(angles, updates), opt_state, loss
-
     # The whole optimization runs as ONE lax.scan under jit — the idiomatic
     # JAX training loop (a per-step python loop re-dispatches 500 times and
     # measures host latency, not the chip; measured r3 it dominated:
-    # 1.5k-3.3k steps/sec dispatch-bound and +-20% noisy).
-    @jax.jit
-    def run(angles, opt_state):
-        def body(carry, _):
-            a, s = carry
-            a, s, loss = step(a, s)
-            return (a, s), loss
-        (angles, _), ls = jax.lax.scan(body, (angles, opt_state), None,
-                                       length=steps)
-        return angles, ls[-1]
+    # 1.5k-3.3k steps/sec dispatch-bound and +-20% noisy). donate=False so
+    # the compile call's inputs stay valid for the timed call.
+    from pytorch_mesh_renderer_tpu import parallel
+
+    def loss_fn(angles, target_img):
+        return 1.0 - losses.silhouette_iou(render_alpha(angles), target_img)
+
+    run = parallel.make_train_loop(loss_fn, opt, steps_per_call=steps,
+                                   donate=False)
 
     angles = jnp.zeros(3)
     opt_state = opt.init(angles)
-    jax.block_until_ready(run(angles, opt_state))  # compile
+    jax.block_until_ready(run(angles, opt_state, target))  # compile
     t0 = time.perf_counter()
-    out_angles, loss = run(angles, opt_state)
-    jax.block_until_ready(loss)
+    out_angles, _, ls = run(angles, opt_state, target)
+    jax.block_until_ready(ls)
     dt = time.perf_counter() - t0
-    return steps / dt, float(loss), np.asarray(out_angles)
+    return steps / dt, float(ls[-1]), np.asarray(out_angles)
 
 
 def _probe_gathered_binning(platform):

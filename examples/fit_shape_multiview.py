@@ -8,10 +8,14 @@ reference:
 
   * the four views render as one batch-4 jitted program (the reference loops
     cameras per step);
-  * optional (data, space) mesh sharding via --mesh for multi-chip runs;
+  * optional (data, space) mesh sharding via --mesh for multi-chip runs
+    (views over "data", pixel rows over "space");
+  * optional --scan-chunk N: N optimizer steps per device dispatch
+    (lax.scan) to amortize the host dispatch floor;
   * checkpoint/resume of (params, opt_state, step) between invocations.
 
 Usage: python examples/fit_shape_multiview.py --epochs 200
+       python examples/fit_shape_multiview.py --mesh 4,2 --scan-chunk 25
 """
 
 import argparse
@@ -55,10 +59,20 @@ def main():
     parser.add_argument("--out-prefix", type=str, default="fit_shape")
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="path to save/resume optimization state")
+    parser.add_argument("--mesh", type=str, default=None, metavar="DATA,SPACE",
+                        help="shard over a (data, space) device mesh, e.g. "
+                             "'4,2': views over 'data', pixel rows over "
+                             "'space' (views %% data == 0, size %% space == 0)")
+    parser.add_argument("--scan-chunk", type=int, default=None,
+                        help="run N optimizer steps per device dispatch "
+                             "(lax.scan via parallel.make_train_loop); "
+                             "previews/checkpoints happen between chunks")
     args = parser.parse_args()
 
+    from pytorch_mesh_renderer_tpu import parallel
     from pytorch_mesh_renderer_tpu.models import shapes, soft_mesh_renderer
-    from pytorch_mesh_renderer_tpu.ops import losses, mesh as mesh_ops
+    from pytorch_mesh_renderer_tpu.ops import camera, losses
+    from pytorch_mesh_renderer_tpu.ops import mesh as mesh_ops
     from pytorch_mesh_renderer_tpu.utils import checkpoint, obj_io
 
     verts0, tris, _ = shapes.sphere(0.5, resolution=args.resolution)
@@ -75,10 +89,25 @@ def main():
     lights = eyes[:, None, :]
     intensities = jnp.ones([n_views, 1])
 
+    device_mesh = None
+    if args.mesh:
+        d, s = (int(x) for x in args.mesh.split(","))
+        device_mesh = parallel.make_mesh(data=d, space=s)
+        cams = camera.clip_space_transforms(
+            eyes, centers, ups, jnp.full([n_views], 40.0),
+            jnp.full([n_views], 0.01), jnp.full([n_views], 10.0),
+            args.size, args.size)
+
     def render_alphas(vertices):
         # Silhouette-only fast path: bit-identical to the full render's
         # alpha channel, ~2x faster (docs/soft_renderer.md).
         v = jnp.tile(vertices[None], [n_views, 1, 1])
+        if device_mesh is not None:
+            # Views shard over "data", pixel rows over "space"; output
+            # equals the unsharded render exactly (tests/test_parallel.py).
+            return parallel.sharded_soft_silhouette(
+                device_mesh, v, tris, cams, args.size, args.size,
+                sigma_val=args.sigma)
         return soft_mesh_renderer.render_silhouette(
             v, tris, eyes, centers, ups, args.size, args.size,
             sigma_val=args.sigma)
@@ -94,9 +123,10 @@ def main():
         tv = tv * jnp.array([1.4, 0.7, 0.9])
         targets = render_alphas_jit(tv)
 
-    def loss_fn(params):
+    def loss_fn(params, target_alphas):
         vertices = verts0 + params["offsets"]
-        sil = losses.silhouette_mse_loss(render_alphas(vertices), targets)
+        sil = losses.silhouette_mse_loss(render_alphas(vertices),
+                                         target_alphas)
         edge = losses.edge_loss(vertices, edges)
         lap = losses.laplacian_smoothing_loss(vertices, edges)
         return (sil + args.edge_weight * edge +
@@ -104,6 +134,9 @@ def main():
 
     opt = optax.adam(args.lr)
     params = {"offsets": jnp.zeros_like(verts0)}
+    if device_mesh is not None:
+        params = parallel.replicate(device_mesh, params)
+        targets = parallel.shard_batch(device_mesh, targets)
     opt_state = opt.init(params)
     start = 0
     if args.checkpoint and checkpoint.exists(args.checkpoint):
@@ -117,26 +150,45 @@ def main():
     @jax.jit
     def step(params, opt_state):
         (loss, aux), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+            loss_fn, has_aux=True)(params, targets)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss, aux
 
-    for epoch in range(start, args.epochs):
-        params, opt_state, loss, (sil, edge, lap) = step(params, opt_state)
-        if epoch % args.preview_every == 0 or epoch == args.epochs - 1:
-            print(f"epoch {epoch}: loss {float(loss):.5f} "
-                  f"(sil {float(sil):.5f} edge {float(edge):.5f} "
-                  f"lap {float(lap):.5f})")
-            vertices = verts0 + params["offsets"]
-            alphas = np.asarray(render_alphas_jit(vertices))
-            common.save_png(f"{args.out_prefix}_view0_{epoch:04d}.png",
-                            alphas[0][..., None].repeat(3, -1))
-            obj_io.save_obj(f"{args.out_prefix}_{epoch:04d}.obj",
-                            vertices, tris)
-            if args.checkpoint:
-                checkpoint.save(args.checkpoint,
-                                {"params": params, "opt_state": opt_state,
-                                 "step": epoch + 1})
+    def preview(epoch, params, opt_state, loss, sil, edge, lap):
+        print(f"epoch {epoch}: loss {float(loss):.5f} "
+              f"(sil {float(sil):.5f} edge {float(edge):.5f} "
+              f"lap {float(lap):.5f})")
+        vertices = verts0 + params["offsets"]
+        alphas = np.asarray(render_alphas_jit(vertices))
+        common.save_png(f"{args.out_prefix}_view0_{epoch:04d}.png",
+                        alphas[0][..., None].repeat(3, -1))
+        obj_io.save_obj(f"{args.out_prefix}_{epoch:04d}.obj", vertices, tris)
+        if args.checkpoint:
+            checkpoint.save(args.checkpoint,
+                            {"params": params, "opt_state": opt_state,
+                             "step": epoch + 1})
+
+    if args.scan_chunk:
+        # K steps per dispatch; loss components re-evaluated (one forward)
+        # only at chunk boundaries for logging.
+        loop = parallel.make_train_loop(
+            lambda p, t: loss_fn(p, t)[0], opt,
+            steps_per_call=args.scan_chunk)
+        eval_aux = jax.jit(lambda p: loss_fn(p, targets))
+        epoch = start
+        while epoch < args.epochs:
+            params, opt_state, chunk_losses = loop(params, opt_state,
+                                                   targets)
+            epoch = min(epoch + args.scan_chunk, args.epochs)
+            loss, (sil, edge, lap) = eval_aux(params)
+            preview(epoch - 1, params, opt_state, chunk_losses[-1],
+                    sil, edge, lap)
+    else:
+        for epoch in range(start, args.epochs):
+            params, opt_state, loss, (sil, edge, lap) = step(params,
+                                                             opt_state)
+            if epoch % args.preview_every == 0 or epoch == args.epochs - 1:
+                preview(epoch, params, opt_state, loss, sil, edge, lap)
 
     vertices = verts0 + params["offsets"]
     obj_io.save_obj(f"{args.out_prefix}_final.obj", vertices, tris)

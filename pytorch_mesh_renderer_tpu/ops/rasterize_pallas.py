@@ -173,6 +173,12 @@ def _bbox_live_cols(x, y, vw):
 # the row position), winner selection (min z, max id) is order-independent
 # and the gathered mode is bit-identical to the chunk mode.
 
+# Cap on tiles-per-triangle in the gathered plan; beyond it a triangle is
+# legacy-handled. Measured (CPU pair counts, 2026-08-18): the bench teapot
+# configs have ZERO overflow at cap 8; the 512^2 stress config overflows
+# ~1.8 tris/mesh costing 4.3% of pairs, and raising the cap to 32 reclaims
+# only 3.6% of pairs while 4x-ing the plan's per-triangle scatter
+# enumeration ([T, cap]) — not worth it.
 GATHER_TILE_CAP = 8
 
 

@@ -170,16 +170,25 @@ def main():
 
     if args.scan_chunk:
         # K steps per dispatch; loss components re-evaluated (one forward)
-        # only at chunk boundaries for logging.
-        loop = parallel.make_train_loop(
-            lambda p, t: loss_fn(p, t)[0], opt,
-            steps_per_call=args.scan_chunk)
+        # only at chunk boundaries for logging. The final chunk is sized to
+        # the remaining steps so the executed step count equals --epochs
+        # exactly (and the checkpoint's saved step stays truthful); at most
+        # two loop lengths ever compile.
+        loops = {}
+
+        def loop_for(k):
+            if k not in loops:
+                loops[k] = parallel.make_train_loop(
+                    lambda p, t: loss_fn(p, t)[0], opt, steps_per_call=k)
+            return loops[k]
+
         eval_aux = jax.jit(lambda p: loss_fn(p, targets))
         epoch = start
         while epoch < args.epochs:
-            params, opt_state, chunk_losses = loop(params, opt_state,
-                                                   targets)
-            epoch = min(epoch + args.scan_chunk, args.epochs)
+            k = min(args.scan_chunk, args.epochs - epoch)
+            params, opt_state, chunk_losses = loop_for(k)(params, opt_state,
+                                                          targets)
+            epoch += k
             loss, (sil, edge, lap) = eval_aux(params)
             preview(epoch - 1, params, opt_state, chunk_losses[-1],
                     sil, edge, lap)

@@ -85,15 +85,21 @@ def main():
     history = []
     if args.scan_chunk:
         from pytorch_mesh_renderer_tpu import parallel
-        loop = parallel.make_train_loop(
-            lambda a, batch: losses.image_l1_loss(render(a), batch),
-            opt, steps_per_call=args.scan_chunk)
+        # The tail chunk is sized to the remaining steps so exactly
+        # --steps optimizer steps execute (at most two loop lengths
+        # compile).
+        loss_fn = lambda a, batch: losses.image_l1_loss(render(a), batch)
+        loops = {}
         for i in range(0, args.steps, args.scan_chunk):
-            angles, opt_state, chunk_losses = loop(angles, opt_state, target)
+            k = min(args.scan_chunk, args.steps - i)
+            if k not in loops:
+                loops[k] = parallel.make_train_loop(loss_fn, opt,
+                                                    steps_per_call=k)
+            angles, opt_state, chunk_losses = loops[k](angles, opt_state,
+                                                       target)
             history.extend(np.asarray(chunk_losses).tolist())
             video.append(np.asarray(render_jit(angles)))
-            print(f"step {min(i + args.scan_chunk, args.steps) - 1}: "
-                  f"loss {history[-1]:.5f}")
+            print(f"step {i + k - 1}: loss {history[-1]:.5f}")
     else:
         for i in range(args.steps):
             angles, opt_state, loss = step(angles, opt_state)

@@ -34,6 +34,11 @@ class HardRasterizerConfig:
         ties between coplanar triangles may resolve differently. The
         gathered binning mode ignores this (its per-triangle tile lists
         are already exact and its ties use original ids).
+      interpret: Pallas backend only — None (default) compiles on TPU and
+        interprets elsewhere, resolved from the *default* backend (or, in
+        the parallel.sharded_* wrappers, from the mesh's own devices so a
+        CPU dry-run mesh never attempts a Mosaic compile even when a TPU
+        default backend exists). True/False force the mode.
       binning: 'gathered' (default) — triangle-granularity per-tile
         binning: an XLA prepass scatters each triangle's packed row into
         per-tile chunk-aligned segments, so kernels visit only true
@@ -47,6 +52,7 @@ class HardRasterizerConfig:
     dot_precision: str = "default"
     spatial_sort: bool = True
     binning: str = "gathered"
+    interpret: bool | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,12 +68,14 @@ class SoftRasterizerConfig:
         binning over the blur-inflated bboxes; exact partition, additive
         aggregation unchanged) or 'chunk' (legacy chunk-granularity
         prepass). See HardRasterizerConfig.binning.
+      interpret: see HardRasterizerConfig.interpret.
     """
     backend: str = "auto"
     triangle_chunk: int = 64
     eps: float = 1e-10
     dot_precision: str = "default"
     binning: str = "gathered"
+    interpret: bool | None = None
 
 
 HARD_CONFIG = HardRasterizerConfig()

@@ -48,7 +48,8 @@ def rasterize_barycentric(clip_space_vertices, triangles, image_width,
             return rasterize_barycentric_pallas(
                 clip_space_vertices, triangles, image_width, image_height,
                 row_offset=row_offset, full_height=full_height,
-                dot_precision=cfg.dot_precision, binning=cfg.binning)
+                interpret=cfg.interpret, dot_precision=cfg.dot_precision,
+                binning=cfg.binning)
     return rasterize_barycentric_xla(
         clip_space_vertices, triangles, image_width, image_height,
         cfg.triangle_chunk, row_offset=row_offset, full_height=full_height)
@@ -114,7 +115,7 @@ def rasterize_clip_space(clip_space_vertices, attributes, triangles,
                 clip_space_vertices, jnp.asarray(attributes, jnp.float32),
                 tris, image_width, image_height,
                 row_offset=row_offset, full_height=full_height,
-                dot_precision=cfg.dot_precision,
+                interpret=cfg.interpret, dot_precision=cfg.dot_precision,
                 spatial_sort=cfg.spatial_sort, binning=cfg.binning))
     else:
         def kernel(verts):

@@ -222,42 +222,42 @@ def _gather_plan(bbox5, chunk, image_width, image_height, row_offset,
     n_tiles = n_rows * n_cols
     row_off = jnp.asarray(row_offset, jnp.float32)
 
+    # Per-tile NDC bounds — the EXACT same expressions `_bin_hits` uses, so
+    # the gathered and chunk classifications of a (triangle, tile) pair can
+    # never diverge (an earlier pixel-space floor() formulation could
+    # disagree by an ulp at tile boundaries, dropping a boundary pixel's
+    # soft coverage; ADVICE r3). Closed-interval overlap is also exactly
+    # sufficient: every pixel CENTER of tile j lies strictly inside the
+    # tile's NDC box, so a bbox containing any coverable center overlaps it.
+    ti = jnp.arange(n_rows, dtype=jnp.float32)
+    tj = jnp.arange(n_cols, dtype=jnp.float32)
+    if top_down:
+        tmax_y = -(ti * tile_h + row_off) * (2.0 / full_height) + 1.0
+        tmin_y = -((ti + 1) * tile_h + row_off) * (2.0 / full_height) + 1.0
+    else:
+        tmin_y = (ti * tile_h + row_off) * (2.0 / full_height) - 1.0
+        tmax_y = ((ti + 1) * tile_h + row_off) * (2.0 / full_height) - 1.0
+    tmin_x = tj * tile_w * (2.0 / image_width) - 1.0
+    tmax_x = (tj + 1) * tile_w * (2.0 / image_width) - 1.0
+
     def plan_one(b5):
         live = b5[:, 0] > 0.0
-        # Pixel-space bbox within this shard's row window. Tile j covers
-        # pixels [j*tile, (j+1)*tile); floor() of the closed bbox bounds is
-        # a conservative superset of every tile containing a coverable
-        # pixel CENTER (see _bin_hits for the NDC-space equivalent).
-        x_lo = (b5[:, 1] + 1.0) * (image_width * 0.5)
-        x_hi = (b5[:, 2] + 1.0) * (image_width * 0.5)
-        if top_down:
-            y_lo = (1.0 - b5[:, 4]) * (full_height * 0.5) - row_off
-            y_hi = (1.0 - b5[:, 3]) * (full_height * 0.5) - row_off
-        else:
-            y_lo = (b5[:, 3] + 1.0) * (full_height * 0.5) - row_off
-            y_hi = (b5[:, 4] + 1.0) * (full_height * 0.5) - row_off
-        onscreen = ((x_hi >= 0.0) & (x_lo <= image_width) &
-                    (y_hi >= 0.0) & (y_lo <= image_height))
-        ci0 = jnp.clip(jnp.floor(x_lo / tile_w), 0,
-                       n_cols - 1).astype(jnp.int32)
-        ci1 = jnp.clip(jnp.floor(x_hi / tile_w), 0,
-                       n_cols - 1).astype(jnp.int32)
-        ri0 = jnp.clip(jnp.floor(y_lo / tile_h), 0,
-                       n_rows - 1).astype(jnp.int32)
-        ri1 = jnp.clip(jnp.floor(y_hi / tile_h), 0,
-                       n_rows - 1).astype(jnp.int32)
-        wspan = ci1 - ci0 + 1
-        nspan = wspan * (ri1 - ri0 + 1)
-        eligible = live & onscreen & (nspan <= cap)
+        # Per-triangle tile-overlap masks; hits form contiguous [first,
+        # last] ranges along each axis (the tile boxes are a monotone
+        # partition of NDC), which the scatter enumeration below exploits.
+        col_hit = ((b5[:, 1:2] <= tmax_x[None]) &
+                   (b5[:, 2:3] >= tmin_x[None]))        # [T, C]
+        row_hit = ((b5[:, 3:4] <= tmax_y[None]) &
+                   (b5[:, 4:5] >= tmin_y[None]))        # [T, R]
+        wspan = jnp.sum(col_hit, axis=1).astype(jnp.int32)
+        hspan = jnp.sum(row_hit, axis=1).astype(jnp.int32)
+        ci0 = jnp.argmax(col_hit, axis=1).astype(jnp.int32)
+        ri0 = jnp.argmax(row_hit, axis=1).astype(jnp.int32)
+        nspan = wspan * hspan
+        eligible = live & (nspan > 0) & (nspan <= cap)
 
         # Exact (triangle, tile) hit matrix -> per-tile counts and the rank
         # (segment position) of each triangle within each tile it hits.
-        rows_i = jnp.arange(n_rows, dtype=jnp.int32)
-        cols_i = jnp.arange(n_cols, dtype=jnp.int32)
-        row_hit = ((rows_i[None] >= ri0[:, None]) &
-                   (rows_i[None] <= ri1[:, None]))
-        col_hit = ((cols_i[None] >= ci0[:, None]) &
-                   (cols_i[None] <= ci1[:, None]))
         hit = (eligible[:, None, None] & row_hit[:, :, None] &
                col_hit[:, None, :]).reshape(t_pad, n_tiles)
         hit_i = hit.astype(jnp.int32)
@@ -274,9 +274,12 @@ def _gather_plan(bbox5, chunk, image_width, image_height, row_offset,
         keep = eligible & ~drop
 
         # Row-major enumeration of each kept triangle's tile-span rect.
+        # (wspan can be 0 for offscreen triangles; their slots are already
+        # invalid below, but the div/mod operands must stay defined.)
         k = jnp.arange(cap, dtype=jnp.int32)
-        r_k = ri0[:, None] + k[None] // wspan[:, None]
-        c_k = ci0[:, None] + k[None] % wspan[:, None]
+        wspan_safe = jnp.maximum(wspan, 1)
+        r_k = ri0[:, None] + k[None] // wspan_safe[:, None]
+        c_k = ci0[:, None] + k[None] % wspan_safe[:, None]
         tile_k = jnp.clip(r_k * n_cols + c_k, 0, n_tiles - 1)
         valid_k = keep[:, None] & (k[None] < nspan[:, None])
         rank_k = jnp.take_along_axis(rank, tile_k, axis=1)

@@ -133,8 +133,8 @@ def rasterize_batch(clip_space_vertices, triangles, world_space_vertices,
             normals, diffuse_colors, light_positions, light_intensities,
             image_width, image_height, sigma_val, gamma_val,
             blur_radius=blur_radius, row_offset=row_offset,
-            full_height=full_height, dot_precision=cfg.dot_precision,
-            binning=cfg.binning)
+            full_height=full_height, interpret=cfg.interpret,
+            dot_precision=cfg.dot_precision, binning=cfg.binning)
     tris = jnp.asarray(triangles, jnp.int32)
     tri_count = tris.shape[0]
     sq_blur = blur_radius ** 2
@@ -376,8 +376,8 @@ def rasterize_clip_space_batch(clip_space_vertices, triangles,
             normals, diffuse_colors, light_positions, light_intensities,
             image_width, image_height, sigma_val, gamma_val,
             blur_radius=blur_radius, row_offset=row_offset,
-            full_height=full_height, dot_precision=cfg.dot_precision,
-            binning=cfg.binning)
+            full_height=full_height, interpret=cfg.interpret,
+            dot_precision=cfg.dot_precision, binning=cfg.binning)
 
     def one(clip_v, world_v, norms, colors, lights, intensities):
         return rasterize_batch(
@@ -414,8 +414,8 @@ def rasterize_silhouette_clip_space_batch(clip_space_vertices, triangles,
         return soft_rasterize_silhouette_pallas_batched(
             clip_space_vertices, triangles, image_width, image_height,
             sigma_val, blur_radius=blur_radius, row_offset=row_offset,
-            full_height=full_height, dot_precision=cfg.dot_precision,
-            binning=cfg.binning)
+            full_height=full_height, interpret=cfg.interpret,
+            dot_precision=cfg.dot_precision, binning=cfg.binning)
 
     zeros3 = jnp.zeros(clip_space_vertices.shape[1:-1] + (3,), jnp.float32)
     dummy_lights = jnp.zeros([1, 3], jnp.float32)

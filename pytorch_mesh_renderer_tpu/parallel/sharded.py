@@ -23,6 +23,7 @@ shader's cross-pixel normalization, ops/shading.py).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -30,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from .. import config as config_lib
 from ..ops import rasterize as rasterize_lib
 from ..ops import soft_rasterize as soft_rasterize_lib
 from ..ops import camera
@@ -43,6 +45,29 @@ except ImportError:  # pragma: no cover
 
 def _axis_in_mesh(mesh, name):
     return name in mesh.axis_names and mesh.shape[name] > 1
+
+
+def _resolve_config(mesh, config, default):
+    """Pins the config's backend/interpret choices to the MESH's platform.
+
+    The kernel-level defaults ('auto' backend, interpret=None) resolve from
+    the process's *default* jax backend — wrong under shard_map when the
+    mesh targets a different platform (e.g. the driver's virtual-CPU dry-run
+    mesh while a TPU plugin is the default backend: the Pallas kernels would
+    attempt a Mosaic compile on CPU devices and crash). Here both resolve
+    from `mesh.devices` instead, which is always the platform the shards
+    actually run on. Explicit (non-auto / non-None) values pass through.
+    """
+    cfg = config or default
+    on_tpu = mesh.devices.flat[0].platform == "tpu"
+    updates = {}
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if on_tpu else "xla"
+        updates["backend"] = backend
+    if backend == "pallas" and cfg.interpret is None:
+        updates["interpret"] = not on_tpu
+    return dataclasses.replace(cfg, **updates) if updates else cfg
 
 
 def shard_batch(mesh, tree):
@@ -82,6 +107,7 @@ def sharded_rasterize(mesh, world_space_vertices, attributes, triangles,
     local_h = image_height // n_space
     tris = np.asarray(triangles, np.int32)
     background_value = np.asarray(background_value, np.float32)
+    config = _resolve_config(mesh, config, config_lib.HARD_CONFIG)
 
     clip_space_vertices = camera.transform_homogeneous(
         camera_matrices, world_space_vertices)
@@ -121,6 +147,7 @@ def sharded_soft_rasterize(mesh, world_space_vertices, triangles, normals,
         raise ValueError("batch must divide over the data axis.")
     local_h = image_height // n_space
     tris = np.asarray(triangles, np.int32)
+    config = _resolve_config(mesh, config, config_lib.SOFT_CONFIG)
 
     clip_space_vertices = camera.transform_homogeneous(
         camera_matrices, world_space_vertices)
@@ -162,6 +189,7 @@ def sharded_soft_silhouette(mesh, world_space_vertices, triangles,
         raise ValueError("batch must divide over the data axis.")
     local_h = image_height // n_space
     tris = np.asarray(triangles, np.int32)
+    config = _resolve_config(mesh, config, config_lib.SOFT_CONFIG)
 
     clip_space_vertices = camera.transform_homogeneous(
         camera_matrices, world_space_vertices)

@@ -380,3 +380,33 @@ def test_sharded_soft_silhouette_matches_single_device():
     scale = np.abs(np.asarray(g_single)).max() + 1e-6
     np.testing.assert_allclose(np.asarray(g_sharded) / scale,
                                np.asarray(g_single) / scale, atol=2e-4)
+
+
+@needs_8_devices
+def test_resolve_config_pins_interpret_to_mesh_platform():
+    """ADVICE r3: a CPU mesh must never let the Pallas kernels attempt a
+    Mosaic compile, even if the process's default backend were a TPU. The
+    sharded wrappers resolve backend='auto'/interpret=None from the mesh's
+    own devices, not from jax.devices()."""
+    from pytorch_mesh_renderer_tpu import config as config_lib
+    from pytorch_mesh_renderer_tpu.parallel.sharded import _resolve_config
+
+    mesh = parallel.make_mesh(data=4, space=2)
+    assert mesh.devices.flat[0].platform == "cpu"
+
+    # Explicit pallas backend + unset interpret -> interpreted on CPU mesh.
+    cfg = _resolve_config(
+        mesh, config_lib.HardRasterizerConfig(backend="pallas"),
+        config_lib.HARD_CONFIG)
+    assert cfg.interpret is True
+
+    # auto backend resolves from the mesh platform (cpu -> xla).
+    cfg = _resolve_config(mesh, None, config_lib.HARD_CONFIG)
+    assert cfg.backend == "xla"
+
+    # Explicit interpret=False passes through untouched (caller's call).
+    cfg = _resolve_config(
+        mesh,
+        config_lib.SoftRasterizerConfig(backend="pallas", interpret=False),
+        config_lib.SOFT_CONFIG)
+    assert cfg.interpret is False and cfg.backend == "pallas"

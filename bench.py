@@ -340,8 +340,13 @@ def estimate_soft_cost(scene, size, n_lights=2, blur_radius=0.01):
     # gathered segment chunks + legacy fallback candidates.
     _, _, plan, _, counts = sp._prepare_tables(
         tri_data, "gathered", size, size, 0, size)
-    pairs = int(jnp.sum(plan[3])) + int(jnp.sum(counts))
-    tri_px = pairs * sp.TRI_CHUNK * sp.TILE_H * sp.TILE_W
+    # Gathered visits cover SEG_H-row strips; legacy visits cover full
+    # TILE_H tiles per strip pass (N_SEG passes of SEG_H rows each).
+    gathered_pairs = int(jnp.sum(plan[3]))
+    legacy_pairs = int(jnp.sum(counts))
+    pairs = gathered_pairs + legacy_pairs
+    tri_px = (gathered_pairs * sp.SEG_H +
+              legacy_pairs * sp.TILE_H) * sp.TRI_CHUNK * sp.TILE_W
     flops = tri_px * ((224 + 23 * n_lights) + (652 + 63 * n_lights))
 
     t_pad = tri_data.shape[1]
@@ -399,8 +404,13 @@ def estimate_hard_cost(scene, size):
     # gathered segment chunks + legacy fallback candidates.
     _, _, _, plan, _, counts = rp._prepare_tables(
         tri_data, None, chunk, size, size, 0, size, "gathered")
-    pairs = int(jnp.sum(plan[3])) + int(jnp.sum(counts))
-    tri_px = pairs * chunk * rp.TILE_H * rp.TILE_W
+    # Gathered visits cover SEG_H-row strips; legacy visits cover full
+    # TILE_H tiles (once per strip pass, N_SEG * SEG_H = TILE_H rows).
+    gathered_pairs = int(jnp.sum(plan[3]))
+    legacy_pairs = int(jnp.sum(counts))
+    pairs = gathered_pairs + legacy_pairs
+    tri_px = (gathered_pairs * rp.SEG_H +
+              legacy_pairs * rp.TILE_H) * chunk * rp.TILE_W
     # Same attribute packing as models/mesh_renderer.py (normals + positions
     # + diffuse = 9 attrs) — derive the pad from the kernel's own rule.
     n_attrs = (scene["normals"].shape[-1] + scene["vertices"].shape[-1]
@@ -709,7 +719,9 @@ def main():
         # the same binned pairs (no interpolation/lighting/softmax).
         _, hbm_bytes, pairs = estimate_soft_cost(scene, args.size)
         from pytorch_mesh_renderer_tpu.ops import soft_rasterize_pallas as sp
-        flops = pairs * sp.TRI_CHUNK * sp.TILE_H * sp.TILE_W * 290
+        # Gathered visits cover SEG_H-row strips (legacy full-tile visits
+        # are zero on the bench scenes, see estimate_soft_cost).
+        flops = pairs * sp.TRI_CHUNK * sp.SEG_H * sp.TILE_W * 290
     else:
         estimate = estimate_soft_cost if args.soft else estimate_hard_cost
         flops, hbm_bytes, pairs = estimate(scene, args.size)

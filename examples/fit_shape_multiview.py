@@ -155,11 +155,18 @@ def main():
         return optax.apply_updates(params, updates), opt_state, loss, aux
 
     def preview(epoch, params, opt_state, loss, sil, edge, lap):
-        print(f"epoch {epoch}: loss {float(loss):.5f} "
-              f"(sil {float(sil):.5f} edge {float(edge):.5f} "
-              f"lap {float(lap):.5f})")
         vertices = verts0 + params["offsets"]
         alphas = np.asarray(render_alphas_jit(vertices))
+        # Mean binarized IoU across views (the fit-quality number the
+        # committed trajectory reports; threshold 0.5 on both sides).
+        got = alphas > 0.5
+        want = np.asarray(targets) > 0.5
+        inter = (got & want).sum(axis=(1, 2))
+        union = np.maximum((got | want).sum(axis=(1, 2)), 1)
+        iou = float(np.mean(inter / union))
+        print(f"epoch {epoch}: loss {float(loss):.5f} "
+              f"(sil {float(sil):.5f} edge {float(edge):.5f} "
+              f"lap {float(lap):.5f}) IoU {iou:.4f}")
         common.save_png(f"{args.out_prefix}_view0_{epoch:04d}.png",
                         alphas[0][..., None].repeat(3, -1))
         obj_io.save_obj(f"{args.out_prefix}_{epoch:04d}.obj", vertices, tris)

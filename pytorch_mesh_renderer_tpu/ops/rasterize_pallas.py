@@ -55,6 +55,7 @@ same semantics are testable on the CPU CI mesh).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -71,7 +72,19 @@ from .barycentric import (DEGENERATE_BARYCENTRIC_CUTOFF,
 # which outweighs per-tile loop overhead.
 TILE_H = 16
 TILE_W = 128
-# Triangles processed per inner step ([chunk, TILE_H, TILE_W] temporaries).
+# Gathered-segment strip height: triangles bin to SEG_H-row strips of each
+# tile and the kernels process [chunk, SEG_H, TILE_W] lane blocks per
+# visit. The kernels are occupancy-bound (valid lanes are sparse in a
+# dense 16-row block); halving the strip height trades ~19% more chunk
+# visits for ~40% less raw lane-work at the bench configs
+# (scripts/soft_occupancy_analysis.py --hard). 8 is the f32 sublane
+# quantum; MESH_RENDERER_HARD_SEG_H=16 recovers the full-tile
+# decomposition for A/B measurements.
+SEG_H = int(os.environ.get("MESH_RENDERER_HARD_SEG_H", "8"))
+if TILE_H % SEG_H:
+    raise ValueError(f"SEG_H={SEG_H} must divide TILE_H={TILE_H}")
+N_SEG = TILE_H // SEG_H
+# Triangles processed per inner step ([chunk, SEG_H, TILE_W] temporaries).
 # Chunk size is also the BINNING granularity (per-tile candidate lists are
 # chunk-aligned), so smaller chunks cull tighter. Measured on v5e with
 # binning: fused chunk 16 beats 64 at BOTH the 256^2 teapot headline
@@ -449,15 +462,23 @@ def _prepare_bwd_tables(base, ids, bc, chunk, image_width, image_height,
     batch, t_pad, width = base.shape
     n_rows = pl.cdiv(image_height, TILE_H)
     n_cols = pl.cdiv(image_width, TILE_W)
+    n_strips = n_rows * N_SEG
     if binning == "gathered":
-        budget = _gather_budget_rows(t_pad, n_rows * n_cols, chunk)
+        budget = _gather_budget_rows(t_pad, n_strips * n_cols, chunk)
+        # Winner segments at SEG_H-strip granularity. Pad the id/bc images
+        # to whole tiles first so the plan has exactly N_SEG strip rows per
+        # kernel tile row (padded pixels are inactive: id 0, bc 0).
+        pad_h = n_rows * TILE_H - ids.shape[1]
+        if pad_h:
+            ids = jnp.pad(ids, [(0, 0), (0, pad_h), (0, 0)])
+            bc = jnp.pad(bc, [(0, 0), (0, pad_h), (0, 0), (0, 0)])
         gather_idx, start_chunk, n_chunks, tile_fits = _winner_plan(
-            ids, bc, chunk, budget)
+            ids, bc, chunk, budget, tile_h=SEG_H)
     else:
         gather_idx = jnp.full((batch, chunk), -1, jnp.int32)
-        zeros = jnp.zeros((batch, n_rows, n_cols, 1), jnp.int32)
+        zeros = jnp.zeros((batch, n_strips, n_cols, 1), jnp.int32)
         start_chunk, n_chunks = zeros, zeros
-        tile_fits = jnp.zeros((batch, n_rows, n_cols, 1), bool)
+        tile_fits = jnp.zeros((batch, n_strips, n_cols, 1), bool)
 
     sentinel = jnp.zeros((batch, 1, width), jnp.float32)
     sentinel = sentinel.at[:, 0, _ID_COL].set(-1.0)
@@ -469,7 +490,12 @@ def _prepare_bwd_tables(base, ids, bc, chunk, image_width, image_height,
     candidates, counts = _bin_chunks(base, chunk, image_width,
                                      image_height, row_offset, full_height,
                                      live_col=live_col)
-    counts = jnp.where(tile_fits, 0, counts)
+    # Legacy fallback activates PER STRIP: a strip whose winner segment
+    # exceeded the budget walks the tile's bbox candidate list at strip
+    # height; strips whose segment fit skip it. The candidate list itself
+    # stays per tile (shared by the tile's N_SEG strips).
+    counts = jnp.where(tile_fits,
+                       0, jnp.repeat(counts, N_SEG, axis=1))
     plan = (src, None, start_chunk, n_chunks)
     return table, gather_idx.shape[1], plan, candidates, counts
 
@@ -506,14 +532,16 @@ def _pack_triangle_data(clip_vertices, triangles, chunk):
     return data
 
 
-def _tile_pixel_coords(ti, tj, row_off, image_width, full_height):
-    """NDC coordinates of this tile's pixel centers (row 0 = NDC bottom,
-    cpp:376-377). row_off shifts rows when the image is row-sharded."""
+def _strip_pixel_coords(ti, h, tj, row_off, image_width, full_height):
+    """NDC pixel-center coordinates of strip h (of N_SEG) in tile (ti, tj):
+    [SEG_H, TILE_W] arrays over rows ti*TILE_H + h*SEG_H + [0, SEG_H)
+    (row 0 = NDC bottom, cpp:376-377). row_off shifts rows when the image
+    is row-sharded."""
     rows = (jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
-        + ti * TILE_H + row_off)
+        jnp.int32, (SEG_H, TILE_W), 0).astype(jnp.float32)
+        + ti * TILE_H + h * SEG_H + row_off)
     cols = (jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+        jnp.int32, (SEG_H, TILE_W), 1).astype(jnp.float32)
         + tj * TILE_W)
     py = (rows + 0.5) * (2.0 / full_height) - 1.0
     px = (cols + 0.5) * (2.0 / image_width) - 1.0
@@ -677,40 +705,46 @@ def _kernel(row_off_ref, a_start_ref, a_count_ref, b_count_ref, b_cand_ref,
     # the whole mesh batch renders in ONE pallas_call (no vmap).
     ti = pl.program_id(1)
     tj = pl.program_id(2)
-    px, py = _tile_pixel_coords(ti, tj, row_off_ref[0], image_width,
-                                full_height)
 
-    def visit(row_start, carry):
-        data = tri_ref[0, pl.ds(row_start, TRI_CHUNK), :]  # [C, 22]
-        best_z, best_id, best_we0, best_we1, best_we2 = carry
-        chunk_z, chunk_id, w0, w1, w2 = _rasterize_chunk_core(
-            data, px, py, TRI_CHUNK)
-        better = _merge_better(chunk_z, chunk_id, best_z, best_id)
-        best_z = jnp.where(better, chunk_z, best_z)
-        best_id = jnp.where(better, chunk_id, best_id)
-        best_we0 = jnp.where(better, jnp.sum(w0, axis=0), best_we0)
-        best_we1 = jnp.where(better, jnp.sum(w1, axis=0), best_we1)
-        best_we2 = jnp.where(better, jnp.sum(w2, axis=0), best_we2)
-        return best_z, best_id, best_we0, best_we1, best_we2
+    def run_strip(h):
+        px, py = _strip_pixel_coords(ti, h, tj, row_off_ref[0], image_width,
+                                     full_height)
 
-    # Loop A: this tile's own gathered segment (contiguous chunks).
-    a_start = a_start_ref[0, 0, tj, 0]
+        def visit(row_start, carry):
+            data = tri_ref[0, pl.ds(row_start, TRI_CHUNK), :]  # [C, 22]
+            best_z, best_id, best_we0, best_we1, best_we2 = carry
+            chunk_z, chunk_id, w0, w1, w2 = _rasterize_chunk_core(
+                data, px, py, TRI_CHUNK)
+            better = _merge_better(chunk_z, chunk_id, best_z, best_id)
+            best_z = jnp.where(better, chunk_z, best_z)
+            best_id = jnp.where(better, chunk_id, best_id)
+            best_we0 = jnp.where(better, jnp.sum(w0, axis=0), best_we0)
+            best_we1 = jnp.where(better, jnp.sum(w1, axis=0), best_we1)
+            best_we2 = jnp.where(better, jnp.sum(w2, axis=0), best_we2)
+            return best_z, best_id, best_we0, best_we1, best_we2
 
-    def a_body(i, carry):
-        return visit((a_start + i) * TRI_CHUNK, carry)
+        # Loop A: this strip's own gathered segment (contiguous chunks).
+        a_start = a_start_ref[0, h, tj, 0]
 
-    # Loop B: legacy chunk-binned candidates over the fallback section.
-    def b_body(i, carry):
-        c = b_cand_ref[0, 0, tj, i]
-        return visit(s_rows + c * TRI_CHUNK, carry)
+        def a_body(i, carry):
+            return visit((a_start + i) * TRI_CHUNK, carry)
 
-    zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    init = (jnp.ones((TILE_H, TILE_W), jnp.float32),
-            jnp.full((TILE_H, TILE_W), -1, jnp.int32),
-            zeros, zeros, zeros)
-    carry = jax.lax.fori_loop(0, a_count_ref[0, 0, tj, 0], a_body, init)
-    best_z, best_id, best_we0, best_we1, best_we2 = jax.lax.fori_loop(
-        0, b_count_ref[0, 0, tj, 0], b_body, carry)
+        # Loop B: legacy chunk-binned candidates over the fallback section.
+        def b_body(i, carry):
+            c = b_cand_ref[0, 0, tj, i]
+            return visit(s_rows + c * TRI_CHUNK, carry)
+
+        zeros = jnp.zeros((SEG_H, TILE_W), jnp.float32)
+        init = (jnp.ones((SEG_H, TILE_W), jnp.float32),
+                jnp.full((SEG_H, TILE_W), -1, jnp.int32),
+                zeros, zeros, zeros)
+        carry = jax.lax.fori_loop(0, a_count_ref[0, h, tj, 0], a_body, init)
+        return jax.lax.fori_loop(0, b_count_ref[0, 0, tj, 0], b_body, carry)
+
+    strips = [run_strip(h) for h in range(N_SEG)]
+    best_z, best_id, best_we0, best_we1, best_we2 = (
+        s[0] if N_SEG == 1 else jnp.concatenate(s, axis=0)
+        for s in zip(*strips))
 
     b0, b1, b2, _ = _normalize_winner_edges(best_we0, best_we1, best_we2)
     id_ref[0] = jnp.maximum(best_id, 0)
@@ -743,7 +777,11 @@ MAX_PALLAS_TRIANGLES = 49152
 # duplicated per-tile section budgets 2x T_pad on top of the legacy
 # section), so its per-pass cap is lower; the multi-pass merge covers the
 # rest (measured FASTER than independent passes for the hard kernels).
-MAX_GATHERED_TRIANGLES = 12288
+# Env-tunable so the large-mesh pass-count/VMEM tradeoff can be swept on
+# hardware (scripts/multipass_overhead.py; the 100 MB vmem_limit_bytes
+# above is self-described conservative).
+MAX_GATHERED_TRIANGLES = int(
+    os.environ.get("MESH_RENDERER_MAX_GATHERED", "12288"))
 
 
 def _max_pass_triangles(binning):
@@ -796,6 +834,17 @@ def _bin_specs(n_cols, n_chunks):
     return count_spec, cand_spec
 
 
+def _seg_specs(n_cols):
+    """SMEM block spec for per-strip segment lists.
+
+    Arrays are [B, N_SEG * R, C, 1] (strip-major rows); one block carries a
+    tile's N_SEG consecutive strip rows so kernels read
+    `ref[0, h, tj, 0]`. Last two block dims equal the array dims (Mosaic's
+    SMEM layout rule, see _bin_specs)."""
+    return pl.BlockSpec((1, N_SEG, n_cols, 1), lambda b, i, j: (b, i, 0, 0),
+                        memory_space=pltpu.SMEM)
+
+
 def _prepare_tables(tri_data, attr_packed, chunk, image_width, image_height,
                     row_offset, full_height, binning):
     """Shared prepass: binning plan + two-section table + legacy candidates.
@@ -811,11 +860,20 @@ def _prepare_tables(tri_data, attr_packed, chunk, image_width, image_height,
     n_rows = pl.cdiv(image_height, TILE_H)
     n_cols = pl.cdiv(image_width, TILE_W)
     if binning == "gathered":
-        budget = _gather_budget_rows(t_pad, n_rows * n_cols, chunk)
+        # SEG_H-strip granularity (N_SEG strip rows per kernel tile row);
+        # the plan's height pads to whole tiles so strip h of tile i is
+        # always plan row N_SEG*i + h. Strips past the image bottom can
+        # only add dead visits, never lose real ones (the hit test is an
+        # exact superset per strip). The overflow cap scales with N_SEG so
+        # the same triangles fall to the legacy loop, to first order.
+        n_strips = n_rows * N_SEG
+        budget = _gather_budget_rows(t_pad, n_strips * n_cols, chunk)
         plan = _gather_plan(tri_data[:, :, 15:20], chunk, image_width,
-                            image_height, row_offset, full_height, budget)
+                            n_rows * TILE_H, row_offset, full_height,
+                            budget, cap=GATHER_TILE_CAP * N_SEG,
+                            tile_h=SEG_H)
     else:
-        plan = _legacy_plan(batch, t_pad, chunk, n_rows, n_cols)
+        plan = _legacy_plan(batch, t_pad, chunk, n_rows * N_SEG, n_cols)
     table, base = _build_tables(tri_data, attr_packed, plan)
     s_rows = plan[0].shape[1]
     candidates, counts = _bin_chunks(table[:, s_rows:], chunk, image_width,
@@ -848,14 +906,15 @@ def _forward_from_packed(table, s_rows, plan, candidates, counts,
     row_off = jnp.asarray(row_offset, jnp.float32).reshape(1)
     count_spec, cand_spec = _bin_specs(
         pl.cdiv(image_width, TILE_W), n_tri_padded // TRI_CHUNK)
+    seg_spec = _seg_specs(pl.cdiv(image_width, TILE_W))
 
     ids, b0, b1, b2, z = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # row offset scalar
-            count_spec,   # gathered segment starts
-            count_spec,   # gathered segment chunk counts
+            seg_spec,     # gathered per-strip segment starts
+            seg_spec,     # gathered per-strip segment chunk counts
             count_spec,   # legacy candidate counts
             cand_spec,    # legacy candidate chunk ids
             tri_spec,
@@ -870,28 +929,31 @@ def _forward_from_packed(table, s_rows, plan, candidates, counts,
     return ids, bc, jnp.where(z > 1.0, 1.0, z)
 
 
-def _bwd_tile_inputs(ti, tj, id_ref, b0_ref, b1_ref, b2_ref, g0_ref, g1_ref,
-                     g2_ref, image_width, image_height):
-    """Masked per-tile residuals/cotangents + winner-id chunk-cull range.
+def _bwd_tile_inputs(ti, h, tj, id_ref, b0_ref, b1_ref, b2_ref, g0_ref,
+                     g1_ref, g2_ref, image_width, image_height):
+    """Masked per-strip residuals/cotangents + winner-id chunk-cull range.
 
     Boundary tiles are padded with uninitialized memory; mask it out or
     garbage ids/cotangents would contribute to the sums. Returns the
     degenerate-pixel mask (cpp:162-164: id 0 with barycentric sum below the
     cutoff is background) and the [min, max] winner-id range used to skip
-    chunks no pixel in this tile references.
+    chunks no pixel in this strip references.
     """
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-    pix_ok = ((row_idx + ti * TILE_H < image_height) &
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (SEG_H, TILE_W), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (SEG_H, TILE_W), 1)
+    pix_ok = ((row_idx + ti * TILE_H + h * SEG_H < image_height) &
               (col_idx + tj * TILE_W < image_width))
 
-    ids = jnp.where(pix_ok, id_ref[0], -1)
-    b0 = jnp.where(pix_ok, b0_ref[0], 0.0)
-    b1 = jnp.where(pix_ok, b1_ref[0], 0.0)
-    b2 = jnp.where(pix_ok, b2_ref[0], 0.0)
-    g0 = jnp.where(pix_ok, g0_ref[0], 0.0)
-    g1 = jnp.where(pix_ok, g1_ref[0], 0.0)
-    g2 = jnp.where(pix_ok, g2_ref[0], 0.0)
+    def sl(ref):
+        return ref[0, pl.ds(h * SEG_H, SEG_H), :]
+
+    ids = jnp.where(pix_ok, sl(id_ref), -1)
+    b0 = jnp.where(pix_ok, sl(b0_ref), 0.0)
+    b1 = jnp.where(pix_ok, sl(b1_ref), 0.0)
+    b2 = jnp.where(pix_ok, sl(b2_ref), 0.0)
+    g0 = jnp.where(pix_ok, sl(g0_ref), 0.0)
+    g1 = jnp.where(pix_ok, sl(g1_ref), 0.0)
+    g2 = jnp.where(pix_ok, sl(g2_ref), 0.0)
 
     active = ~((ids == 0) &
                (b0 + b1 + b2 < DEGENERATE_BARYCENTRIC_CUTOFF))
@@ -958,50 +1020,55 @@ def _bwd_kernel(row_off_ref, a_start_ref, a_count_ref, a_idmin_ref,
     """
     ti = pl.program_id(1)
     tj = pl.program_id(2)
-    n_pix = TILE_H * TILE_W
+    n_pix = SEG_H * TILE_W
 
     @pl.when((ti == 0) & (tj == 0))
     def _init():
         dcorner_ref[:] = jnp.zeros_like(dcorner_ref)
 
-    (_, ids, b0, b1, b2, g0, g1, g2, active, tile_id_min,
-     tile_id_max) = _bwd_tile_inputs(
-         ti, tj, id_ref, b0_ref, b1_ref, b2_ref, g0_ref, g1_ref, g2_ref,
-         image_width, image_height)
-    gb = g0 * b0 + g1 * b1 + g2 * b2
-    bmat = jnp.concatenate([b0.reshape(1, n_pix), b1.reshape(1, n_pix),
-                            b2.reshape(1, n_pix)], axis=0)  # [3, P]
+    for h in range(N_SEG):
+        (_, ids, b0, b1, b2, g0, g1, g2, active, tile_id_min,
+         tile_id_max) = _bwd_tile_inputs(
+             ti, h, tj, id_ref, b0_ref, b1_ref, b2_ref, g0_ref, g1_ref,
+             g2_ref, image_width, image_height)
+        gb = g0 * b0 + g1 * b1 + g2 * b2
+        bmat = jnp.concatenate([b0.reshape(1, n_pix), b1.reshape(1, n_pix),
+                                b2.reshape(1, n_pix)], axis=0)  # [3, P]
 
-    def visit(row_start, _):
-        data = tri_ref[0, pl.ds(row_start, BWD_TRI_CHUNK), :]
-        tid = data[:, _ID_COL].astype(jnp.int32).reshape(
-            BWD_TRI_CHUNK, 1, 1)
-        mask = ((ids[None] == tid) & active[None]).astype(jnp.float32)
-        _bwd_chunk_core(data, mask, g0, g1, g2, gb, bmat, BWD_TRI_CHUNK,
-                        n_pix, dcorner_ref, row_start, precision)
-        return 0
+        def visit(row_start, ids=ids, active=active, g0=g0, g1=g1, g2=g2,
+                  gb=gb, bmat=bmat):
+            data = tri_ref[0, pl.ds(row_start, BWD_TRI_CHUNK), :]
+            tid = data[:, _ID_COL].astype(jnp.int32).reshape(
+                BWD_TRI_CHUNK, 1, 1)
+            mask = ((ids[None] == tid) & active[None]).astype(jnp.float32)
+            _bwd_chunk_core(data, mask, g0, g1, g2, gb, bmat, BWD_TRI_CHUNK,
+                            n_pix, dcorner_ref, row_start, precision)
+            return 0
 
-    a_start = a_start_ref[0, 0, tj, 0]
+        a_start = a_start_ref[0, h, tj, 0]
 
-    def a_body(i, _):
-        c = a_start + i
-        hit = ((a_idmin_ref[0, 0, c] <= tile_id_max) &
-               (a_idmax_ref[0, 0, c] >= tile_id_min))
-        jax.lax.cond(hit, functools.partial(visit, c * BWD_TRI_CHUNK),
-                     lambda _: 0, 0)
-        return 0
+        def a_body(i, _, a_start=a_start, visit=visit,
+                   tile_id_min=tile_id_min, tile_id_max=tile_id_max):
+            c = a_start + i
+            hit = ((a_idmin_ref[0, 0, c] <= tile_id_max) &
+                   (a_idmax_ref[0, 0, c] >= tile_id_min))
+            jax.lax.cond(hit,
+                         lambda _: visit(c * BWD_TRI_CHUNK),
+                         lambda _: 0, 0)
+            return 0
 
-    def b_body(i, _):
-        c = b_cand_ref[0, 0, tj, i]
-        hit = ((c * BWD_TRI_CHUNK <= tile_id_max) &
-               ((c + 1) * BWD_TRI_CHUNK > tile_id_min))
-        jax.lax.cond(hit,
-                     functools.partial(visit, s_rows + c * BWD_TRI_CHUNK),
-                     lambda _: 0, 0)
-        return 0
+        def b_body(i, _, visit=visit, tile_id_min=tile_id_min,
+                   tile_id_max=tile_id_max):
+            c = b_cand_ref[0, 0, tj, i]
+            hit = ((c * BWD_TRI_CHUNK <= tile_id_max) &
+                   ((c + 1) * BWD_TRI_CHUNK > tile_id_min))
+            jax.lax.cond(hit,
+                         lambda _: visit(s_rows + c * BWD_TRI_CHUNK),
+                         lambda _: 0, 0)
+            return 0
 
-    jax.lax.fori_loop(0, a_count_ref[0, 0, tj, 0], a_body, 0)
-    jax.lax.fori_loop(0, b_count_ref[0, 0, tj, 0], b_body, 0)
+        jax.lax.fori_loop(0, a_count_ref[0, h, tj, 0], a_body, 0)
+        jax.lax.fori_loop(0, b_count_ref[0, h, tj, 0], b_body, 0)
 
 
 def _scatter_corner_grads(dcorner, triangles, batch, vertex_count):
@@ -1063,19 +1130,20 @@ def _backward_pallas(table, plan, candidates, counts, triangles,
     idrange_spec = pl.BlockSpec((1, 1, idmin.shape[-1]),
                                 lambda b, i, j: (b, 0, 0),
                                 memory_space=pltpu.SMEM)
-    count_spec, cand_spec = _bin_specs(
+    _, cand_spec = _bin_specs(
         pl.cdiv(image_width, TILE_W), n_tri_padded // BWD_TRI_CHUNK)
+    seg_spec = _seg_specs(pl.cdiv(image_width, TILE_W))
     dtab = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            count_spec,      # gathered segment starts
-            count_spec,      # gathered segment chunk counts
+            seg_spec,        # winner per-strip segment starts
+            seg_spec,        # winner per-strip segment chunk counts
             idrange_spec,    # gathered chunk id minima
             idrange_spec,    # gathered chunk id maxima
-            count_spec,      # legacy candidate counts
-            cand_spec,       # legacy candidate chunk ids
+            seg_spec,        # legacy candidate counts (per strip)
+            cand_spec,       # legacy candidate chunk ids (per tile)
             tri_spec,
         ] + [tile_spec] * 7,
         out_specs=[acc_spec],
@@ -1329,75 +1397,90 @@ def _kernel_fused_body(row_off_ref, a_start_ref, a_count_ref, b_count_ref,
     """
     ti = pl.program_id(1)
     tj = pl.program_id(2)
-    n_pix = TILE_H * TILE_W
-    px, py = _tile_pixel_coords(ti, tj, row_off_ref[0], image_width,
-                                full_height)
+    n_pix = SEG_H * TILE_W
 
-    def visit(row_start, carry):
-        blk = tri_ref[0, pl.ds(row_start, chunk), :]  # [C, _ATTR_COL + 3A]
-        best_z, best_id, best_we0, best_we1, best_we2, best_attr = carry
-        chunk_z, chunk_id, w0, w1, w2 = _rasterize_chunk_core(
-            blk, px, py, chunk)
+    def run_strip(h):
+        px, py = _strip_pixel_coords(ti, h, tj, row_off_ref[0], image_width,
+                                     full_height)
 
-        # Three corner dots, not one grouped [A, 3C] x [3C, P] dot: Mosaic
-        # cannot concatenate the lane-offset corner slices of the block
-        # along the sublane dim ("result/input offset mismatch on
-        # non-concat dimension"), and the measured cost of the extra dot
-        # launches is inside run-to-run noise.
-        chunk_attr = jnp.zeros((a_pad, n_pix), jnp.float32)
-        for k, wk in enumerate((w0, w1, w2)):
-            ak = blk[:, _ATTR_COL + k * a_pad:
-                     _ATTR_COL + (k + 1) * a_pad]  # [C, A]
-            chunk_attr = chunk_attr + jax.lax.dot_general(
-                ak, wk.reshape(chunk, n_pix),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision)  # [A, P]
+        def visit(row_start, carry):
+            blk = tri_ref[0, pl.ds(row_start, chunk), :]  # [C, ATTR + 3A]
+            best_z, best_id, best_we0, best_we1, best_we2, best_attr = carry
+            chunk_z, chunk_id, w0, w1, w2 = _rasterize_chunk_core(
+                blk, px, py, chunk)
 
-        better = _merge_better(chunk_z, chunk_id, best_z, best_id)
-        # Mosaic can't shape-cast i1 vectors; flatten as f32.
-        betterf = (better.astype(jnp.float32).reshape(1, n_pix) > 0.0)
-        best_z = jnp.where(better, chunk_z, best_z)
-        best_id = jnp.where(better, chunk_id, best_id)
-        best_we0 = jnp.where(better, jnp.sum(w0, axis=0), best_we0)
-        best_we1 = jnp.where(better, jnp.sum(w1, axis=0), best_we1)
-        best_we2 = jnp.where(better, jnp.sum(w2, axis=0), best_we2)
-        best_attr = jnp.where(betterf, chunk_attr, best_attr)
-        return (best_z, best_id, best_we0, best_we1, best_we2, best_attr)
+            # Three corner dots, not one grouped [A, 3C] x [3C, P] dot:
+            # Mosaic cannot concatenate the lane-offset corner slices of
+            # the block along the sublane dim ("result/input offset
+            # mismatch on non-concat dimension"), and the measured cost of
+            # the extra dot launches is inside run-to-run noise.
+            chunk_attr = jnp.zeros((a_pad, n_pix), jnp.float32)
+            for k, wk in enumerate((w0, w1, w2)):
+                ak = blk[:, _ATTR_COL + k * a_pad:
+                         _ATTR_COL + (k + 1) * a_pad]  # [C, A]
+                chunk_attr = chunk_attr + jax.lax.dot_general(
+                    ak, wk.reshape(chunk, n_pix),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)  # [A, P]
 
-    a_start = a_start_ref[0, 0, tj, 0]
+            better = _merge_better(chunk_z, chunk_id, best_z, best_id)
+            # Mosaic can't shape-cast i1 vectors; flatten as f32.
+            betterf = (better.astype(jnp.float32).reshape(1, n_pix) > 0.0)
+            best_z = jnp.where(better, chunk_z, best_z)
+            best_id = jnp.where(better, chunk_id, best_id)
+            best_we0 = jnp.where(better, jnp.sum(w0, axis=0), best_we0)
+            best_we1 = jnp.where(better, jnp.sum(w1, axis=0), best_we1)
+            best_we2 = jnp.where(better, jnp.sum(w2, axis=0), best_we2)
+            best_attr = jnp.where(betterf, chunk_attr, best_attr)
+            return (best_z, best_id, best_we0, best_we1, best_we2,
+                    best_attr)
 
-    def a_body(i, carry):
-        return visit((a_start + i) * chunk, carry)
+        a_start = a_start_ref[0, h, tj, 0]
 
-    def b_body(i, carry):
-        return visit(s_rows + b_cand_ref[0, 0, tj, i] * chunk, carry)
+        def a_body(i, carry):
+            return visit((a_start + i) * chunk, carry)
 
-    zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    init = (jnp.ones((TILE_H, TILE_W), jnp.float32),
-            jnp.full((TILE_H, TILE_W), -1, jnp.int32),
-            zeros, zeros, zeros,
-            jnp.zeros((a_pad, n_pix), jnp.float32))
-    carry = jax.lax.fori_loop(0, a_count_ref[0, 0, tj, 0], a_body, init)
-    (best_z, best_id, best_we0, best_we1, best_we2,
-     best_attr) = jax.lax.fori_loop(0, b_count_ref[0, 0, tj, 0], b_body,
-                                    carry)
+        def b_body(i, carry):
+            return visit(s_rows + b_cand_ref[0, 0, tj, i] * chunk, carry)
 
-    # Deferred normalization: bc from the winner edges (bit-identical, see
-    # _rasterize_chunk_core), attrs rescaled by the same reciprocal (the
-    # interpolation matmuls consumed raw e-weights; rescaling after the dot
-    # differs from before-the-dot only in bf16 rounding order, inside the
-    # kernels' parity tolerances).
-    b0, b1, b2, inv_sum = _normalize_winner_edges(best_we0, best_we1,
-                                                  best_we2)
+        zeros = jnp.zeros((SEG_H, TILE_W), jnp.float32)
+        init = (jnp.ones((SEG_H, TILE_W), jnp.float32),
+                jnp.full((SEG_H, TILE_W), -1, jnp.int32),
+                zeros, zeros, zeros,
+                jnp.zeros((a_pad, n_pix), jnp.float32))
+        carry = jax.lax.fori_loop(0, a_count_ref[0, h, tj, 0], a_body, init)
+        (best_z, best_id, best_we0, best_we1, best_we2,
+         best_attr) = jax.lax.fori_loop(0, b_count_ref[0, 0, tj, 0], b_body,
+                                        carry)
+
+        # Deferred normalization: bc from the winner edges (bit-identical,
+        # see _rasterize_chunk_core), attrs rescaled by the same reciprocal
+        # (the interpolation matmuls consumed raw e-weights; rescaling
+        # after the dot differs from before-the-dot only in bf16 rounding
+        # order, inside the kernels' parity tolerances).
+        b0, b1, b2, inv_sum = _normalize_winner_edges(best_we0, best_we1,
+                                                      best_we2)
+        attr = (best_attr * inv_sum.reshape(1, n_pix)).reshape(
+            a_pad, SEG_H, TILE_W)
+        return best_z, best_id, b0, b1, b2, attr
+
+    strips = [run_strip(h) for h in range(N_SEG)]
+    if N_SEG == 1:
+        best_z, best_id, b0, b1, b2, attr = strips[0]
+    else:
+        parts = list(zip(*strips))
+        best_z, best_id, b0, b1, b2 = (
+            jnp.concatenate(p, axis=0) for p in parts[:5])
+        attr = jnp.concatenate(parts[5], axis=1)  # [a_pad, TILE_H, TILE_W]
+
     id_ref[0] = jnp.maximum(best_id, 0)
     b0_ref[0] = b0
     b1_ref[0] = b1
     b2_ref[0] = b2
     if z_ref is not None:  # only the multi-pass merge consumes z
         z_ref[0] = jnp.where(best_z > 1.0, 1.0, best_z)
-    attr_ref[0] = (best_attr * inv_sum.reshape(1, n_pix)).reshape(
-        a_pad, TILE_H, TILE_W)
+    attr_ref[0] = attr
 
 
 def _forward_fused(table, s_rows, plan, candidates, counts, a_pad,
@@ -1439,14 +1522,15 @@ def _forward_fused(table, s_rows, plan, candidates, counts, a_pad,
     row_off = jnp.asarray(row_offset, jnp.float32).reshape(1)
     count_spec, cand_spec = _bin_specs(
         pl.cdiv(image_width, TILE_W), n_tri_padded // chunk)
+    seg_spec = _seg_specs(pl.cdiv(image_width, TILE_W))
 
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            count_spec,   # gathered segment starts
-            count_spec,   # gathered segment chunk counts
+            seg_spec,     # gathered per-strip segment starts
+            seg_spec,     # gathered per-strip segment chunk counts
             count_spec,   # legacy candidate counts
             cand_spec,    # legacy candidate chunk ids
             tri_spec,
@@ -1483,84 +1567,91 @@ def _bwd_kernel_fused(row_off_ref, a_start_ref, a_count_ref, a_idmin_ref,
     """
     ti = pl.program_id(1)
     tj = pl.program_id(2)
-    n_pix = TILE_H * TILE_W
+    n_pix = SEG_H * TILE_W
 
     @pl.when((ti == 0) & (tj == 0))
     def _init():
         dtab_ref[:] = jnp.zeros_like(dtab_ref)
 
-    (pix_ok, ids, b0, b1, b2, g0, g1, g2, active, tile_id_min,
-     tile_id_max) = _bwd_tile_inputs(
-         ti, tj, id_ref, b0_ref, b1_ref, b2_ref, g0_ref, g1_ref, g2_ref,
-         image_width, image_height)
-    gattr = jnp.where(pix_ok[None], gattr_ref[0], 0.0)  # [A, TH, TW]
-    gattrf = gattr.reshape(a_pad, n_pix)
-    b0f = b0.reshape(1, n_pix)
-    b1f = b1.reshape(1, n_pix)
-    b2f = b2.reshape(1, n_pix)
-    bmat = jnp.concatenate([b0f, b1f, b2f], axis=0)  # [3, P]
+    for h in range(N_SEG):
+        (pix_ok, ids, b0, b1, b2, g0, g1, g2, active, tile_id_min,
+         tile_id_max) = _bwd_tile_inputs(
+             ti, h, tj, id_ref, b0_ref, b1_ref, b2_ref, g0_ref, g1_ref,
+             g2_ref, image_width, image_height)
+        gattr = jnp.where(
+            pix_ok[None],
+            gattr_ref[0, :, pl.ds(h * SEG_H, SEG_H), :], 0.0)  # [A, SH, TW]
+        gattrf = gattr.reshape(a_pad, n_pix)
+        b0f = b0.reshape(1, n_pix)
+        b1f = b1.reshape(1, n_pix)
+        b2f = b2.reshape(1, n_pix)
+        bmat = jnp.concatenate([b0f, b1f, b2f], axis=0)  # [3, P]
 
-    def visit(row_start, _):
-        blk = tri_ref[0, pl.ds(row_start, chunk), :]
-        tid = blk[:, _ID_COL].astype(jnp.int32).reshape(chunk, 1, 1)
-        mask = ((ids[None] == tid) & active[None]).astype(jnp.float32)
-        maskf = mask.reshape(chunk, n_pix)
+        def visit(row_start, ids=ids, active=active, g0=g0, g1=g1, g2=g2,
+                  b0=b0, b1=b1, b2=b2, b0f=b0f, b1f=b1f, b2f=b2f,
+                  bmat=bmat, gattrf=gattrf):
+            blk = tri_ref[0, pl.ds(row_start, chunk), :]
+            tid = blk[:, _ID_COL].astype(jnp.int32).reshape(chunk, 1, 1)
+            mask = ((ids[None] == tid) & active[None]).astype(jnp.float32)
+            maskf = mask.reshape(chunk, n_pix)
 
-        # Interpolation contribution to the barycentric cotangents:
-        # dbc_k(p) = sum_a gattr(a, p) * attr_k[winner(p), a].
-        # (Per-corner dots: Mosaic cannot concat the lane-offset
-        # corner slices of the block into one [3C, A] operand.)
-        dbc = []
-        for k in range(3):
-            ak = blk[:, _ATTR_COL + k * a_pad:
-                     _ATTR_COL + (k + 1) * a_pad]  # [C, A]
-            proj = jax.lax.dot_general(
-                ak, gattrf, (((1,), (0,)), ((), ())),
+            # Interpolation contribution to the barycentric cotangents:
+            # dbc_k(p) = sum_a gattr(a, p) * attr_k[winner(p), a].
+            # (Per-corner dots: Mosaic cannot concat the lane-offset
+            # corner slices of the block into one [3C, A] operand.)
+            dbc = []
+            for k in range(3):
+                ak = blk[:, _ATTR_COL + k * a_pad:
+                         _ATTR_COL + (k + 1) * a_pad]  # [C, A]
+                proj = jax.lax.dot_general(
+                    ak, gattrf, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)  # [C, P]
+                proj = proj.reshape(chunk, SEG_H, TILE_W)
+                dbc.append(jnp.sum(mask * proj, axis=0))
+            g0t = g0 + dbc[0]
+            g1t = g1 + dbc[1]
+            g2t = g2 + dbc[2]
+            gb = g0t * b0 + g1t * b1 + g2t * b2
+            _bwd_chunk_core(blk, mask, g0t, g1t, g2t, gb, bmat, chunk,
+                            n_pix, dtab_ref, row_start, precision)
+
+            # Attribute gradients: dattr_k[t, a] = sum_p mask*b_k * gattr —
+            # one [3C, P] x [P, A] dot for all three corners.
+            mb_all = jnp.concatenate(
+                [maskf * bkf for bkf in (b0f, b1f, b2f)], axis=0)
+            part_all = jax.lax.dot_general(
+                mb_all, gattrf, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=precision)  # [C, P]
-            proj = proj.reshape(chunk, TILE_H, TILE_W)
-            dbc.append(jnp.sum(mask * proj, axis=0))
-        g0t = g0 + dbc[0]
-        g1t = g1 + dbc[1]
-        g2t = g2 + dbc[2]
-        gb = g0t * b0 + g1t * b1 + g2t * b2
-        _bwd_chunk_core(blk, mask, g0t, g1t, g2t, gb, bmat, chunk,
-                        n_pix, dtab_ref, row_start, precision)
+                precision=precision)  # [3C, A]
+            for k in range(3):
+                sl = (0, pl.ds(row_start, chunk),
+                      pl.ds(_OUT_ATTR_COL + k * a_pad, a_pad))
+                dtab_ref[sl] = (dtab_ref[sl]
+                                + part_all[k * chunk:(k + 1) * chunk])
+            return 0
 
-        # Attribute gradients: dattr_k[t, a] = sum_p mask*b_k * gattr —
-        # one [3C, P] x [P, A] dot for all three corners.
-        mb_all = jnp.concatenate(
-            [maskf * bkf for bkf in (b0f, b1f, b2f)], axis=0)
-        part_all = jax.lax.dot_general(
-            mb_all, gattrf, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision)  # [3C, A]
-        for k in range(3):
-            sl = (0, pl.ds(row_start, chunk),
-                  pl.ds(_OUT_ATTR_COL + k * a_pad, a_pad))
-            dtab_ref[sl] = (dtab_ref[sl]
-                            + part_all[k * chunk:(k + 1) * chunk])
-        return 0
+        a_start = a_start_ref[0, h, tj, 0]
 
-    a_start = a_start_ref[0, 0, tj, 0]
+        def a_body(i, _, a_start=a_start, visit=visit,
+                   tile_id_min=tile_id_min, tile_id_max=tile_id_max):
+            c = a_start + i
+            hit = ((a_idmin_ref[0, 0, c] <= tile_id_max) &
+                   (a_idmax_ref[0, 0, c] >= tile_id_min))
+            jax.lax.cond(hit, lambda _: visit(c * chunk), lambda _: 0, 0)
+            return 0
 
-    def a_body(i, _):
-        c = a_start + i
-        hit = ((a_idmin_ref[0, 0, c] <= tile_id_max) &
-               (a_idmax_ref[0, 0, c] >= tile_id_min))
-        jax.lax.cond(hit, functools.partial(visit, c * chunk),
-                     lambda _: 0, 0)
-        return 0
+        def b_body(i, _, visit=visit, tile_id_min=tile_id_min,
+                   tile_id_max=tile_id_max):
+            c = b_cand_ref[0, 0, tj, i]
+            hit = ((c * chunk <= tile_id_max) &
+                   ((c + 1) * chunk > tile_id_min))
+            jax.lax.cond(hit, lambda _: visit(s_rows + c * chunk),
+                         lambda _: 0, 0)
+            return 0
 
-    def b_body(i, _):
-        c = b_cand_ref[0, 0, tj, i]
-        hit = ((c * chunk <= tile_id_max) & ((c + 1) * chunk > tile_id_min))
-        jax.lax.cond(hit, functools.partial(visit, s_rows + c * chunk),
-                     lambda _: 0, 0)
-        return 0
-
-    jax.lax.fori_loop(0, a_count_ref[0, 0, tj, 0], a_body, 0)
-    jax.lax.fori_loop(0, b_count_ref[0, 0, tj, 0], b_body, 0)
+        jax.lax.fori_loop(0, a_count_ref[0, h, tj, 0], a_body, 0)
+        jax.lax.fori_loop(0, b_count_ref[0, h, tj, 0], b_body, 0)
 
 
 def _backward_fused(table, plan, candidates, counts, triangles,
@@ -1603,20 +1694,21 @@ def _backward_fused(table, plan, candidates, counts, triangles,
     idrange_spec = pl.BlockSpec((1, 1, idmin.shape[-1]),
                                 lambda b, i, j: (b, 0, 0),
                                 memory_space=pltpu.SMEM)
-    count_spec, cand_spec = _bin_specs(
+    _, cand_spec = _bin_specs(
         pl.cdiv(image_width, TILE_W), n_tri_padded // chunk)
+    seg_spec = _seg_specs(pl.cdiv(image_width, TILE_W))
 
     dtab = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            count_spec,      # gathered segment starts
-            count_spec,      # gathered segment chunk counts
+            seg_spec,        # winner per-strip segment starts
+            seg_spec,        # winner per-strip segment chunk counts
             idrange_spec,    # gathered chunk id minima
             idrange_spec,    # gathered chunk id maxima
-            count_spec,      # legacy candidate counts
-            cand_spec,       # legacy candidate chunk ids
+            seg_spec,        # legacy candidate counts (per strip)
+            cand_spec,       # legacy candidate chunk ids (per tile)
             tri_spec,
         ] + [tile_spec] * 7 + [gattr_spec],
         out_specs=[dtab_spec],

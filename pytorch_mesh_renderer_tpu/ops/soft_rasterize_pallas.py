@@ -42,6 +42,7 @@ tests/test_soft_pallas.py):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +65,19 @@ TILE_W = 128
 # at this config — the dense tile x chunk structure, not VPU throughput,
 # is the soft kernel's efficiency ceiling (see BENCH.md).
 TRI_CHUNK = 8
+# Gathered-segment strip height: triangles bin to SEG_H-row strips of each
+# (TILE_H, TILE_W) tile, and the kernels process [TRI_CHUNK, SEG_H, TILE_W]
+# lane blocks per visit instead of full-tile blocks. The soft kernels'
+# efficiency ceiling is valid-lane occupancy (~0.2% per dense 16-row block,
+# BENCH.md), so halving the strip height trades ~17% more chunk visits for
+# ~41%/36% less raw lane-work at the 128^2/256^2 teapot
+# (scripts/soft_occupancy_analysis.py). 8 is the f32 sublane quantum —
+# the finest strip Mosaic can address; set MESH_RENDERER_SOFT_SEG_H=16 to
+# recover the full-tile decomposition for A/B measurements.
+SEG_H = int(os.environ.get("MESH_RENDERER_SOFT_SEG_H", "8"))
+if TILE_H % SEG_H:
+    raise ValueError(f"SEG_H={SEG_H} must divide TILE_H={TILE_H}")
+N_SEG = TILE_H // SEG_H
 _COLS = 59
 EPS = soft_xla.EPS
 _NEG_BIG = -1e30
@@ -83,8 +97,10 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 MAX_PALLAS_TRIANGLES = 49152
 # Gathered binning roughly triples the VMEM-resident rows (see the hard
 # module); its per-pass cap is lower and the exact online-softmax merge
-# covers larger meshes.
-MAX_GATHERED_TRIANGLES = 12288
+# covers larger meshes. Env-tunable for hardware sweeps (see the hard
+# module's MAX_GATHERED_TRIANGLES).
+MAX_GATHERED_TRIANGLES = int(
+    os.environ.get("MESH_RENDERER_MAX_GATHERED", "12288"))
 
 
 def _max_pass_triangles(binning):
@@ -193,12 +209,14 @@ def _segment_sq_dist(pxv, pyv, ax, ay, bx, by, inv_len2):
     return nx * nx + ny * ny, t
 
 
-def _tile_coords(ti, tj, row_off, image_width, full_height):
+def _strip_coords(ti, h, tj, row_off, image_width, full_height):
+    """NDC pixel-center coords of strip h (of N_SEG) in tile (ti, tj):
+    [SEG_H, TILE_W] arrays covering rows ti*TILE_H + h*SEG_H + [0, SEG_H)."""
     rows = (jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
-        + ti * TILE_H + row_off)
+        jnp.int32, (SEG_H, TILE_W), 0).astype(jnp.float32)
+        + ti * TILE_H + h * SEG_H + row_off)
     cols = (jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+        jnp.int32, (SEG_H, TILE_W), 1).astype(jnp.float32)
         + tj * TILE_W)
     py = -2.0 * (rows + 0.5) / full_height + 1.0
     px = 2.0 * (cols + 0.5) / image_width - 1.0
@@ -222,6 +240,17 @@ def _bin_chunks(tri_data, image_width, image_height, row_offset,
 _bin_specs = hard_pallas._bin_specs
 
 
+def _seg_specs(n_cols):
+    """SMEM block spec for the per-strip gathered segment lists.
+
+    Arrays are [B, N_SEG * R, C, 1] (strip-major rows); one block carries a
+    TILE's N_SEG consecutive strip rows so kernels read
+    `ref[0, h, tj, 0]`. The last two block dims equal the array dims
+    (Mosaic's SMEM layout rule; see hard_pallas._bin_specs)."""
+    return pl.BlockSpec((1, N_SEG, n_cols, 1), lambda b, i, j: (b, i, 0, 0),
+                        memory_space=pltpu.SMEM)
+
+
 def _prepare_tables(tri_data, binning, image_width, image_height,
                     row_offset, full_height):
     """Soft-table variant of rasterize_pallas._prepare_tables.
@@ -239,15 +268,26 @@ def _prepare_tables(tri_data, binning, image_width, image_height,
     n_rows = pl.cdiv(image_height, TILE_H)
     n_cols = pl.cdiv(image_width, TILE_W)
     if binning == "gathered":
-        budget = hard_pallas._gather_budget_rows(t_pad, n_rows * n_cols,
+        # Segments bin at SEG_H-strip granularity: N_SEG strip rows per
+        # kernel tile row. The plan's height is padded to whole tiles so
+        # strip row h of tile i is always row N_SEG*i + h (a partially
+        # covered bottom tile still owns N_SEG strip entries; strips past
+        # the image bottom can only add dead visits, never lose real ones —
+        # the hit test is an exact superset per strip).
+        n_strips = n_rows * N_SEG
+        budget = hard_pallas._gather_budget_rows(t_pad, n_strips * n_cols,
                                                  TRI_CHUNK)
+        # A triangle's vertical strip span is N_SEG x its tile span, so the
+        # overflow cap scales with it (same triangles overflow to the
+        # legacy loop as at full-tile granularity, to first order).
         plan = hard_pallas._gather_plan(
-            tri_data[:, :, 21:26], TRI_CHUNK, image_width, image_height,
-            row_offset, full_height, budget, top_down=True,
-            tile_h=TILE_H, tile_w=TILE_W)
+            tri_data[:, :, 21:26], TRI_CHUNK, image_width,
+            n_rows * TILE_H, row_offset, full_height, budget,
+            cap=hard_pallas.GATHER_TILE_CAP * N_SEG,
+            top_down=True, tile_h=SEG_H, tile_w=TILE_W)
     else:
-        plan = hard_pallas._legacy_plan(batch, t_pad, TRI_CHUNK, n_rows,
-                                        n_cols)
+        plan = hard_pallas._legacy_plan(batch, t_pad, TRI_CHUNK,
+                                        n_rows * N_SEG, n_cols)
     table, _ = hard_pallas._build_tables(tri_data, None, plan, live_col=21,
                                          with_id=False)
     s_rows = plan[0].shape[1]
@@ -365,7 +405,10 @@ def _fwd_kernel(params_ref, lights_ref, a_start_ref, a_count_ref,
                 rgb2_ref, alpha_ref, max_ref, sumw_ref, *, image_width,
                 image_height, full_height, s_rows, n_lights):
     # Grid: (batch, tile_row, tile_col) — the whole mesh batch renders in
-    # one pallas_call; never vmap these kernels.
+    # one pallas_call; never vmap these kernels. Each tile's N_SEG strips
+    # run their own gathered-segment loop over [C, SEG_H, TILE_W] lane
+    # blocks (the strip's exact per-triangle bin), plus the shared legacy
+    # candidate loop at strip height.
     ti = pl.program_id(1)
     tj = pl.program_id(2)
 
@@ -376,44 +419,50 @@ def _fwd_kernel(params_ref, lights_ref, a_start_ref, a_count_ref,
     sq_blur = params_ref[2]
     row_off = params_ref[3]
 
-    px, py = _tile_coords(ti, tj, row_off, image_width, full_height)
+    def run_strip(h):
+        px, py = _strip_coords(ti, h, tj, row_off, image_width, full_height)
 
-    def visit(row_start, carry):
-        run_max, sum_w, sum_r, sum_g, sum_b, sil = carry
-        data = tri_ref[0, pl.ds(row_start, TRI_CHUNK), :]
-        q = _chunk_forward(data, px, py, light, sigma, gamma,
-                           sq_blur, n_lights)
-        coverage, logit = q["coverage"], q["logit"]
-        chunk_max = jnp.max(logit, axis=0)
-        new_max = jnp.maximum(run_max, chunk_max)
-        scale = jnp.exp(run_max - new_max)
-        expw = coverage * jnp.exp(logit - new_max[None])
-        sum_w = sum_w * scale + jnp.sum(expw, axis=0)
-        sum_r = sum_r * scale + jnp.sum(expw * q["shade_r"], axis=0)
-        sum_g = sum_g * scale + jnp.sum(expw * q["shade_g"], axis=0)
-        sum_b = sum_b * scale + jnp.sum(expw * q["shade_b"], axis=0)
-        one_minus = 1.0 - coverage
-        factor = one_minus[0]
-        for k in range(1, TRI_CHUNK):
-            factor = factor * one_minus[k]
-        sil = sil * factor
-        return new_max, sum_w, sum_r, sum_g, sum_b, sil
+        def visit(row_start, carry):
+            run_max, sum_w, sum_r, sum_g, sum_b, sil = carry
+            data = tri_ref[0, pl.ds(row_start, TRI_CHUNK), :]
+            q = _chunk_forward(data, px, py, light, sigma, gamma,
+                               sq_blur, n_lights)
+            coverage, logit = q["coverage"], q["logit"]
+            chunk_max = jnp.max(logit, axis=0)
+            new_max = jnp.maximum(run_max, chunk_max)
+            scale = jnp.exp(run_max - new_max)
+            expw = coverage * jnp.exp(logit - new_max[None])
+            sum_w = sum_w * scale + jnp.sum(expw, axis=0)
+            sum_r = sum_r * scale + jnp.sum(expw * q["shade_r"], axis=0)
+            sum_g = sum_g * scale + jnp.sum(expw * q["shade_g"], axis=0)
+            sum_b = sum_b * scale + jnp.sum(expw * q["shade_b"], axis=0)
+            one_minus = 1.0 - coverage
+            factor = one_minus[0]
+            for k in range(1, TRI_CHUNK):
+                factor = factor * one_minus[k]
+            sil = sil * factor
+            return new_max, sum_w, sum_r, sum_g, sum_b, sil
 
-    a_start = a_start_ref[0, 0, tj, 0]
+        a_start = a_start_ref[0, h, tj, 0]
 
-    def a_body(i, carry):
-        return visit((a_start + i) * TRI_CHUNK, carry)
+        def a_body(i, carry):
+            return visit((a_start + i) * TRI_CHUNK, carry)
 
-    def b_body(i, carry):
-        return visit(s_rows + b_cand_ref[0, 0, tj, i] * TRI_CHUNK, carry)
+        def b_body(i, carry):
+            return visit(s_rows + b_cand_ref[0, 0, tj, i] * TRI_CHUNK,
+                         carry)
 
-    zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    init = (jnp.full((TILE_H, TILE_W), EPS / gamma, jnp.float32),
-            zeros, zeros, zeros, zeros,
-            jnp.ones((TILE_H, TILE_W), jnp.float32))
-    carry = jax.lax.fori_loop(0, a_count_ref[0, 0, tj, 0], a_body, init)
-    run_max, sum_w, sum_r, sum_g, sum_b, sil = jax.lax.fori_loop(
-        0, b_count_ref[0, 0, tj, 0], b_body, carry)
+        zeros = jnp.zeros((SEG_H, TILE_W), jnp.float32)
+        init = (jnp.full((SEG_H, TILE_W), EPS / gamma, jnp.float32),
+                zeros, zeros, zeros, zeros,
+                jnp.ones((SEG_H, TILE_W), jnp.float32))
+        carry = jax.lax.fori_loop(0, a_count_ref[0, h, tj, 0], a_body, init)
+        return jax.lax.fori_loop(0, b_count_ref[0, 0, tj, 0], b_body, carry)
+
+    strips = [run_strip(h) for h in range(N_SEG)]
+    run_max, sum_w, sum_r, sum_g, sum_b, sil = (
+        s[0] if N_SEG == 1 else jnp.concatenate(s, axis=0)
+        for s in zip(*strips))
 
     bg = jnp.maximum(jnp.exp(EPS / gamma - run_max), EPS)
     inv_total = 1.0 / (sum_w + bg)
@@ -449,42 +498,6 @@ def _bwd_kernel(params_ref, lights_ref, a_start_ref, a_count_ref,
         dlights_ref[:] = jnp.zeros_like(dlights_ref)
         dparams_ref[:] = jnp.zeros_like(dparams_ref)
 
-    px, py = _tile_coords(ti, tj, row_off, image_width, full_height)
-
-    # Tiles at the image boundary are padded; the padded region of the
-    # residual/cotangent blocks is uninitialized memory. Mask it to neutral
-    # values or its garbage (possibly NaN) would poison the per-triangle
-    # sum-reductions below (0 * NaN == NaN).
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-    pix_ok = ((row_idx + ti * TILE_H < image_height) &
-              (col_idx + tj * TILE_W < image_width))
-
-    def load(ref, default):
-        return jnp.where(pix_ok, ref[0], default)
-
-    run_max = load(max_ref, 1.0)
-    sum_w = load(sumw_ref, 0.0)
-    sil = load(sil_ref, 1.0)
-    rgb_r = load(rgb0_ref, 0.0)
-    rgb_g = load(rgb1_ref, 0.0)
-    rgb_b = load(rgb2_ref, 0.0)
-    d_r = load(dr_ref, 0.0)
-    d_g = load(dg_ref, 0.0)
-    d_b = load(db_ref, 0.0)
-    d_a = load(da_ref, 0.0)
-    # Cotangent of the RAW weight sum output (multi-pass merge path; zero
-    # for plain rgba consumers). d(sum_w)/dW = 1 per lane, so it simply
-    # adds to the rgb path's per-lane dW cotangent `common`. The running
-    # max m is treated as a constant here, which combined with the merge
-    # wrapper DISCARDING the m cotangent is exactly right: the merged
-    # result is invariant under (m -> m+d, sumw -> sumw*e^-d), so the two
-    # frame terms cancel identically (up to the bg clamp corner).
-    d_sw = load(dsw_ref, 0.0)
-    bg = jnp.maximum(jnp.exp(EPS / gamma - run_max), EPS)
-    inv_total = (1.0 / (sum_w + bg))[None]  # [1, TH, TW]
-
-    n_pix = TILE_H * TILE_W
     ones_w = jnp.ones((1, TILE_W), jnp.float32)
     eye_c = jnp.eye(TRI_CHUNK, dtype=jnp.float32)
 
@@ -545,7 +558,8 @@ def _bwd_kernel(params_ref, lights_ref, a_start_ref, a_count_ref,
         cols.clear()
         extras.clear()
 
-    def visit(row_start, _):
+    def visit(row_start, px, py, run_max, sil, rgb_r, rgb_g, rgb_b,
+              d_r, d_g, d_b, d_a, d_sw, inv_total):
         data = tri_ref[0, pl.ds(row_start, TRI_CHUNK), :]
 
         def process(_):
@@ -704,16 +718,55 @@ def _bwd_kernel(params_ref, lights_ref, a_start_ref, a_count_ref,
         process(0)
         return 0
 
-    a_start = a_start_ref[0, 0, tj, 0]
+    for h in range(N_SEG):
+        px, py = _strip_coords(ti, h, tj, row_off, image_width, full_height)
 
-    def a_body(i, _):
-        return visit((a_start + i) * TRI_CHUNK, 0)
+        # Tiles at the image boundary are padded; the padded region of the
+        # residual/cotangent blocks is uninitialized memory. Mask it to
+        # neutral values or its garbage (possibly NaN) would poison the
+        # per-triangle sum-reductions (0 * NaN == NaN).
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (SEG_H, TILE_W), 0)
+        col_idx = jax.lax.broadcasted_iota(jnp.int32, (SEG_H, TILE_W), 1)
+        pix_ok = ((row_idx + ti * TILE_H + h * SEG_H < image_height) &
+                  (col_idx + tj * TILE_W < image_width))
 
-    def b_body(i, _):
-        return visit(s_rows + b_cand_ref[0, 0, tj, i] * TRI_CHUNK, 0)
+        def load(ref, default):
+            return jnp.where(pix_ok, ref[0, pl.ds(h * SEG_H, SEG_H), :],
+                             default)
 
-    jax.lax.fori_loop(0, a_count_ref[0, 0, tj, 0], a_body, 0)
-    jax.lax.fori_loop(0, b_count_ref[0, 0, tj, 0], b_body, 0)
+        run_max = load(max_ref, 1.0)
+        sum_w = load(sumw_ref, 0.0)
+        sil = load(sil_ref, 1.0)
+        rgb_r = load(rgb0_ref, 0.0)
+        rgb_g = load(rgb1_ref, 0.0)
+        rgb_b = load(rgb2_ref, 0.0)
+        d_r = load(dr_ref, 0.0)
+        d_g = load(dg_ref, 0.0)
+        d_b = load(db_ref, 0.0)
+        d_a = load(da_ref, 0.0)
+        # Cotangent of the RAW weight sum output (multi-pass merge path;
+        # zero for plain rgba consumers). d(sum_w)/dW = 1 per lane, so it
+        # simply adds to the rgb path's per-lane dW cotangent `common`.
+        # The running max m is treated as a constant here, which combined
+        # with the merge wrapper DISCARDING the m cotangent is exactly
+        # right: the merged result is invariant under (m -> m+d,
+        # sumw -> sumw*e^-d), so the two frame terms cancel identically
+        # (up to the bg clamp corner).
+        d_sw = load(dsw_ref, 0.0)
+        bg = jnp.maximum(jnp.exp(EPS / gamma - run_max), EPS)
+        inv_total = (1.0 / (sum_w + bg))[None]  # [1, SEG_H, TW]
+
+        args = (px, py, run_max, sil, rgb_r, rgb_g, rgb_b, d_r, d_g, d_b,
+                d_a, d_sw, inv_total)
+        a_start = a_start_ref[0, h, tj, 0]
+        jax.lax.fori_loop(
+            0, a_count_ref[0, h, tj, 0],
+            lambda i, _, args=args, a_start=a_start: visit(
+                (a_start + i) * TRI_CHUNK, *args), 0)
+        jax.lax.fori_loop(
+            0, b_count_ref[0, 0, tj, 0],
+            lambda i, _, args=args: visit(
+                s_rows + b_cand_ref[0, 0, tj, i] * TRI_CHUNK, *args), 0)
 
 
 def _edge_gradients(q, col, px, py, dsq, dts, acc):
@@ -777,27 +830,32 @@ def _fwd_kernel_sil(params_ref, a_start_ref, a_count_ref, b_count_ref,
     sq_blur = params_ref[2]
     row_off = params_ref[3]
 
-    px, py = _tile_coords(ti, tj, row_off, image_width, full_height)
+    def run_strip(h):
+        px, py = _strip_coords(ti, h, tj, row_off, image_width, full_height)
 
-    def visit(row_start, sil):
-        data = tri_ref[0, pl.ds(row_start, TRI_CHUNK), :]
-        q = _chunk_forward(data, px, py, None, sigma, 1.0, sq_blur,
-                           n_lights=0, shade=False)
-        one_minus = 1.0 - q["coverage"]
-        factor = one_minus[0]
-        for k in range(1, TRI_CHUNK):
-            factor = factor * one_minus[k]
-        return sil * factor
+        def visit(row_start, sil):
+            data = tri_ref[0, pl.ds(row_start, TRI_CHUNK), :]
+            q = _chunk_forward(data, px, py, None, sigma, 1.0, sq_blur,
+                               n_lights=0, shade=False)
+            one_minus = 1.0 - q["coverage"]
+            factor = one_minus[0]
+            for k in range(1, TRI_CHUNK):
+                factor = factor * one_minus[k]
+            return sil * factor
 
-    a_start = a_start_ref[0, 0, tj, 0]
-    sil = jax.lax.fori_loop(
-        0, a_count_ref[0, 0, tj, 0],
-        lambda i, s: visit((a_start + i) * TRI_CHUNK, s),
-        jnp.ones((TILE_H, TILE_W), jnp.float32))
-    sil = jax.lax.fori_loop(
-        0, b_count_ref[0, 0, tj, 0],
-        lambda i, s: visit(s_rows + b_cand_ref[0, 0, tj, i] * TRI_CHUNK, s),
-        sil)
+        a_start = a_start_ref[0, h, tj, 0]
+        sil = jax.lax.fori_loop(
+            0, a_count_ref[0, h, tj, 0],
+            lambda i, s: visit((a_start + i) * TRI_CHUNK, s),
+            jnp.ones((SEG_H, TILE_W), jnp.float32))
+        return jax.lax.fori_loop(
+            0, b_count_ref[0, 0, tj, 0],
+            lambda i, s: visit(s_rows + b_cand_ref[0, 0, tj, i] * TRI_CHUNK,
+                               s),
+            sil)
+
+    strips = [run_strip(h) for h in range(N_SEG)]
+    sil = strips[0] if N_SEG == 1 else jnp.concatenate(strips, axis=0)
     alpha_ref[0] = 1.0 - sil
 
 
@@ -825,14 +883,6 @@ def _bwd_kernel_sil(params_ref, a_start_ref, a_count_ref, b_count_ref,
         ddata_ref[:] = jnp.zeros_like(ddata_ref)
         dparams_ref[:] = jnp.zeros_like(dparams_ref)
 
-    px, py = _tile_coords(ti, tj, row_off, image_width, full_height)
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-    pix_ok = ((row_idx + ti * TILE_H < image_height) &
-              (col_idx + tj * TILE_W < image_width))
-    sil = jnp.where(pix_ok, sil_ref[0], 1.0)
-    d_a = jnp.where(pix_ok, da_ref[0], 0.0)
-
     ones_w = jnp.ones((1, TILE_W), jnp.float32)
     eye_c = jnp.eye(TRI_CHUNK, dtype=jnp.float32)
     cols = {}
@@ -841,7 +891,7 @@ def _bwd_kernel_sil(params_ref, a_start_ref, a_count_ref, b_count_ref,
         prev = cols.get(colidx)
         cols[colidx] = val if prev is None else prev + val
 
-    def visit(row_start, _):
+    def visit(row_start, px, py, sil, d_a):
         data = tri_ref[0, pl.ds(row_start, TRI_CHUNK), :]
 
         def col(k):
@@ -878,13 +928,25 @@ def _bwd_kernel_sil(params_ref, a_start_ref, a_count_ref, b_count_ref,
         cols.clear()
         return 0
 
-    a_start = a_start_ref[0, 0, tj, 0]
-    jax.lax.fori_loop(0, a_count_ref[0, 0, tj, 0],
-                      lambda i, _: visit((a_start + i) * TRI_CHUNK, 0), 0)
-    jax.lax.fori_loop(
-        0, b_count_ref[0, 0, tj, 0],
-        lambda i, _: visit(s_rows + b_cand_ref[0, 0, tj, i] * TRI_CHUNK, 0),
-        0)
+    for h in range(N_SEG):
+        px, py = _strip_coords(ti, h, tj, row_off, image_width, full_height)
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (SEG_H, TILE_W), 0)
+        col_idx = jax.lax.broadcasted_iota(jnp.int32, (SEG_H, TILE_W), 1)
+        pix_ok = ((row_idx + ti * TILE_H + h * SEG_H < image_height) &
+                  (col_idx + tj * TILE_W < image_width))
+        sil = jnp.where(pix_ok, sil_ref[0, pl.ds(h * SEG_H, SEG_H), :], 1.0)
+        d_a = jnp.where(pix_ok, da_ref[0, pl.ds(h * SEG_H, SEG_H), :], 0.0)
+
+        args = (px, py, sil, d_a)
+        a_start = a_start_ref[0, h, tj, 0]
+        jax.lax.fori_loop(
+            0, a_count_ref[0, h, tj, 0],
+            lambda i, _, args=args, a_start=a_start: visit(
+                (a_start + i) * TRI_CHUNK, *args), 0)
+        jax.lax.fori_loop(
+            0, b_count_ref[0, 0, tj, 0],
+            lambda i, _, args=args: visit(
+                s_rows + b_cand_ref[0, 0, tj, i] * TRI_CHUNK, *args), 0)
 
 
 def _run_forward_sil(table, s_rows, plan, candidates, counts, params,
@@ -904,13 +966,14 @@ def _run_forward_sil(table, s_rows, plan, candidates, counts, params,
                             memory_space=pltpu.VMEM)
     count_spec, cand_spec = _bin_specs(
         pl.cdiv(image_width, TILE_W), n_tri_padded // TRI_CHUNK)
+    seg_spec = _seg_specs(pl.cdiv(image_width, TILE_W))
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            count_spec,   # gathered segment starts
-            count_spec,   # gathered segment chunk counts
+            seg_spec,     # gathered per-strip segment starts
+            seg_spec,     # gathered per-strip segment chunk counts
             count_spec,   # legacy candidate counts
             cand_spec,    # legacy candidate chunk ids
             tri_spec,
@@ -948,13 +1011,14 @@ def _run_backward_sil(table, s_rows, plan, candidates, counts, params,
                                    memory_space=pltpu.VMEM)
     count_spec, cand_spec = _bin_specs(
         pl.cdiv(image_width, TILE_W), n_tri_padded // TRI_CHUNK)
+    seg_spec = _seg_specs(pl.cdiv(image_width, TILE_W))
     dtab, dparams = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            count_spec,
-            count_spec,
+            seg_spec,
+            seg_spec,
             count_spec,
             cand_spec,
             tri_spec,
@@ -1095,6 +1159,7 @@ def _run_forward(table, s_rows, plan, candidates, counts, lights, params,
                                memory_space=pltpu.SMEM)
     count_spec, cand_spec = _bin_specs(
         pl.cdiv(image_width, TILE_W), n_tri_padded // TRI_CHUNK)
+    seg_spec = _seg_specs(pl.cdiv(image_width, TILE_W))
     out_shape = [jax.ShapeDtypeStruct(
         (batch, image_height, image_width), jnp.float32)] * 6
     return pl.pallas_call(
@@ -1103,8 +1168,8 @@ def _run_forward(table, s_rows, plan, candidates, counts, lights, params,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sigma/gamma/blur/row
             lights_spec,
-            count_spec,   # gathered segment starts
-            count_spec,   # gathered segment chunk counts
+            seg_spec,     # gathered per-strip segment starts
+            seg_spec,     # gathered per-strip segment chunk counts
             count_spec,   # legacy candidate counts
             cand_spec,    # legacy candidate chunk ids
             tri_spec,
@@ -1149,14 +1214,15 @@ def _run_backward(table, s_rows, plan, candidates, counts, lights, params,
                                    memory_space=pltpu.VMEM)
     count_spec, cand_spec = _bin_specs(
         pl.cdiv(image_width, TILE_W), n_tri_padded // TRI_CHUNK)
+    seg_spec = _seg_specs(pl.cdiv(image_width, TILE_W))
     dtab, dlights, dparams = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             lights_spec,
-            count_spec,
-            count_spec,
+            seg_spec,
+            seg_spec,
             count_spec,
             cand_spec,
             tri_spec,

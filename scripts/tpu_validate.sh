@@ -1,7 +1,8 @@
 #!/bin/bash
-# Sequential TPU validation pipeline for the gathered-binning change.
-# One TPU job at a time (the chip is exclusive). Logs to $OUT (default
-# /tmp/tpu_validate). Safe to re-run; each step overwrites its own log.
+# Sequential TPU validation pipeline for the gathered-binning + SEG_H-strip
+# kernels. One TPU job at a time (the chip is exclusive). Logs to $OUT
+# (default /tmp/tpu_validate). Safe to re-run; each step overwrites its own
+# log.
 set -u
 OUT=${OUT:-/tmp/tpu_validate}
 mkdir -p "$OUT"
@@ -17,21 +18,44 @@ step() {
 }
 
 : >"$OUT/summary.txt"
+# 1. Compiled kernel suites — the Mosaic gate interpret mode cannot check.
 step hard_native env MESH_RENDERER_TEST_PLATFORM=native \
   python -m pytest tests/test_rasterize_pallas.py -q
 step soft_native env MESH_RENDERER_TEST_PLATFORM=native \
   python -m pytest tests/test_soft_pallas.py -q
-step tune_hard python scripts/tune_chunks.py --chunks 8 16 32 64
-step tune_stress python scripts/tune_chunks.py --stress --chunks 8 16 32 64
-step tune_soft python scripts/tune_chunks.py --soft --chunks 8 16 32 64
+
+# 2. Benches under the shipping default (SEG_H=8 strips, gathered binning).
 step bench_headline python bench.py
 step bench_stress python bench.py --stress
 step bench_soft128 python bench.py --soft --size 128
 step bench_sil128 python bench.py --soft --silhouette --size 128
 step bench_soft256 python bench.py --soft --size 256
-step bench_pose python bench.py --pose
-step bench_soft_sweep python bench.py --soft-sweep
+
+# 3. SEG_H A/B: the same benches on the full-tile (16-row) decomposition.
+step bench_headline_seg16 env MESH_RENDERER_HARD_SEG_H=16 python bench.py
+step bench_stress_seg16 env MESH_RENDERER_HARD_SEG_H=16 \
+  python bench.py --stress
+step bench_soft128_seg16 env MESH_RENDERER_SOFT_SEG_H=16 \
+  python bench.py --soft --size 128
+step bench_sil128_seg16 env MESH_RENDERER_SOFT_SEG_H=16 \
+  python bench.py --soft --silhouette --size 128
+
+# 4. Chunk sweeps (gathered mode re-tune; strips change the tradeoff).
+step tune_hard python scripts/tune_chunks.py --chunks 8 16 32 64
+step tune_stress python scripts/tune_chunks.py --stress --chunks 8 16 32 64
+step tune_soft python scripts/tune_chunks.py --soft --chunks 8 16 32 64
+
+# 5. Large-mesh multi-pass under the gathered cap, incl. a cap sweep
+#    (VERDICT r3 #3: 100k tris = 9 passes at 12288; measure vs 24576/49152).
 step multipass_hard python scripts/multipass_overhead.py
 step multipass_soft python scripts/multipass_overhead.py --soft
+step multipass_hard_cap24k env MESH_RENDERER_MAX_GATHERED=24576 \
+  python scripts/multipass_overhead.py
+step multipass_soft_cap24k env MESH_RENDERER_MAX_GATHERED=24576 \
+  python scripts/multipass_overhead.py --soft
+
+# 6. Remaining bench configs.
+step bench_pose python bench.py --pose
+step bench_soft_sweep python bench.py --soft-sweep
 echo "=== DONE ($(date +%H:%M:%S)) ==="
 cat "$OUT/summary.txt"

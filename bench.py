@@ -117,12 +117,15 @@ def _update_last_good(record, platform):
 
 
 def _probe_platform(timeout_s=180.0):
-    """`jax.devices()[0].platform` behind a watchdog.
+    """Backend liveness probe behind a watchdog.
 
     A down TPU tunnel makes backend init HANG (not raise), which turned
     BENCH_r03.json into an unparseable stack trace; probing in a daemon
     thread converts both hang and error into ONE structured JSON line with
-    rc=2 (VERDICT r3 #5 / weak #4).
+    rc=2 (VERDICT r3 #5 / weak #4). Device enumeration alone is NOT enough:
+    a degraded tunnel can return [TPU v5 lite0] while every execution
+    stalls forever (seen r4), so the probe must round-trip a real compile
+    + execute before the bench commits to the backend.
     """
     import threading
 
@@ -131,7 +134,11 @@ def _probe_platform(timeout_s=180.0):
     def probe():
         try:
             import jax
-            result["platform"] = jax.devices()[0].platform
+            import jax.numpy as jnp
+            platform = jax.devices()[0].platform
+            x = jnp.ones((256, 256), jnp.float32)
+            (x @ x).block_until_ready()
+            result["platform"] = platform
         except Exception as e:  # pragma: no cover - backend-init failure
             result["error"] = f"{type(e).__name__}: {e}"
 

@@ -8,8 +8,25 @@ OUT=${OUT:-/tmp/tpu_validate}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
+# The tunnel can degrade mid-pipeline (device enumeration keeps working
+# while execution hangs — seen r3/r4). Re-probe liveness with a real
+# compile+execute round-trip before every step so a dead backend costs a
+# probe timeout, not each step's full 30-min budget.
+alive() {
+  timeout 240 python -c "
+import jax, jax.numpy as jnp
+assert jax.devices()[0].platform != 'cpu'
+x = jnp.ones((256, 256), jnp.float32)
+(x @ x).block_until_ready()
+" >/dev/null 2>&1
+}
+
 step() {
   local name=$1; shift
+  until alive; do
+    echo "--- backend dead before $name; waiting ($(date +%H:%M:%S)) ---"
+    sleep 120
+  done
   echo "=== $name: $* ($(date +%H:%M:%S)) ==="
   timeout 1800 "$@" >"$OUT/$name.log" 2>&1
   local rc=$?

@@ -20,6 +20,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Persistent compilation cache (read by jax at first import, which happens
+# lazily inside _probe_platform): this box has ONE cpu core, so kernel
+# compiles dominate wall time; sweep/bench reruns of unchanged kernels hit
+# the disk cache. Timing loops are unaffected (compile happens pre-timer).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 # Reference (andrewkchan/pytorch_mesh_renderer) throughput measured on this
 # image's CPU (1 core), batch-4 256x256 teapot, Phong, fwd+bwd per optimizer
 # step, via the reference's fastest backend (C++ CppExtension kernel,

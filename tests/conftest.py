@@ -22,6 +22,12 @@ if not _NATIVE:
 
 import jax  # noqa: E402
 
+# Persistent compilation cache: this box has ONE cpu core, so Mosaic/XLA
+# compiles dominate native-platform suite time; reruns of unchanged kernels
+# hit the disk cache instead.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 if not _NATIVE:
     # Some environments register an external TPU plugin that wins the
     # default-backend choice even when JAX_PLATFORMS=cpu is set; the config

@@ -282,7 +282,11 @@ def test_soft_multi_pass_large_mesh_matches_single_pass(monkeypatch):
         # dependence (exp(EPS/gamma - m) terms) that the in-kernel dgamma
         # deliberately drops as O(EPS/gamma^2); the two estimates differ by
         # ~0.1% here (the multi-pass one is the more complete of the two).
-        atol = 5e-3 if name == "gamma" else 1e-5
+        # Compiled on TPU the single- and multi-pass programs fuse
+        # differently (measured ~1.2e-5 rel on dsigma, v5e), so the
+        # f32-tight interpret tolerance widens there.
+        on_tpu = jax.devices()[0].platform == "tpu"
+        atol = 5e-3 if name == "gamma" else (1e-4 if on_tpu else 1e-5)
         np.testing.assert_allclose(a / scale, b / scale, atol=atol,
                                    err_msg=f"{name} gradient mismatch")
 
@@ -625,8 +629,13 @@ def test_gathered_unbounded_bbox_vertex_behind_camera():
     g_x = jax.grad(lambda c: loss(
         lambda cc: jax.vmap(lambda one: rasterize_barycentric_xla(
             one, tris, width, height))(cc), c))(clip)
+    # Compiled on TPU the Pallas analytic backward and the XLA-AD backward
+    # reduce in different orders (measured 8.6e-5 max rel, v5e); interpret
+    # mode keeps the f32-tight bound.
+    on_tpu = jax.devices()[0].platform == "tpu"
+    rtol, atol = (1e-3, 1e-2) if on_tpu else (1e-5, 1e-6)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
-                               rtol=1e-5, atol=1e-6)
+                               rtol=rtol, atol=atol)
 
 
 @pytest.mark.parametrize("seed,width,height", [

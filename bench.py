@@ -98,11 +98,14 @@ def _update_last_good(record, platform):
 
     The machine-readable last-known-good record (value + git SHA + date per
     metric) lets a judge distinguish "regressed" from "unmeasured" when a
-    later bench run dies on a down tunnel (VERDICT r3 #5). Skipped off-TPU
-    and when the compile probe fell back (that run does not describe the
-    shipping default).
+    later bench run dies on a down tunnel (VERDICT r3 #5). Skipped off-TPU,
+    when the compile probe fell back, and when any MESH_RENDERER_* env
+    override is set (those runs are experiments, not the shipping default).
     """
     if platform != "tpu" or _PROBE_FELL_BACK:
+        return
+    if any(k.startswith("MESH_RENDERER_") and k != "MESH_RENDERER_TEAPOT"
+           for k in os.environ):
         return
     path = os.path.join(_REPO_DIR, "BENCH_LAST_GOOD.json")
     try:
@@ -115,6 +118,7 @@ def _update_last_good(record, platform):
         "unit": record["unit"],
         "vs_baseline": record.get("vs_baseline"),
         "git_sha": record.get("git_sha"),
+        "binning": record.get("binning"),
         "date": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     tmp = path + ".tmp"
@@ -581,6 +585,9 @@ def _probe_gathered_binning(platform):
     from pytorch_mesh_renderer_tpu.ops import rasterize_pallas as rp
     from pytorch_mesh_renderer_tpu.ops import soft_rasterize_pallas as sp
     from pytorch_mesh_renderer_tpu.models import shapes
+
+    if config_lib.HARD_CONFIG.binning != "gathered":
+        return  # chunk mode selected (e.g. MESH_RENDERER_BINNING) — no probe
 
     v, t, n = (jnp.asarray(a) for a in shapes.sphere(1.0, resolution=6))
     clip = camera.transform_homogeneous(

@@ -10,6 +10,15 @@ per-invocation.
 from __future__ import annotations
 
 import dataclasses
+import os
+
+# Default binning mode for both rasterizers. The env override exists so
+# benchmark sweeps can compare 'gathered' vs 'chunk' on identical trees
+# without editing code (see BENCH.md "binning mode comparison").
+_DEFAULT_BINNING = os.environ.get("MESH_RENDERER_BINNING", "gathered")
+if _DEFAULT_BINNING not in ("gathered", "chunk"):
+    raise ValueError(
+        f"MESH_RENDERER_BINNING={_DEFAULT_BINNING!r} (want 'gathered' or 'chunk')")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,7 +60,7 @@ class HardRasterizerConfig:
     triangle_chunk: int = 64
     dot_precision: str = "default"
     spatial_sort: bool = True
-    binning: str = "gathered"
+    binning: str = _DEFAULT_BINNING
     interpret: bool | None = None
 
 
@@ -74,7 +83,7 @@ class SoftRasterizerConfig:
     triangle_chunk: int = 64
     eps: float = 1e-10
     dot_precision: str = "default"
-    binning: str = "gathered"
+    binning: str = _DEFAULT_BINNING
     interpret: bool | None = None
 
 

@@ -213,6 +213,44 @@ def main():
         return rp.rasterize_interpolate_pallas_batched(
             clip, attrs, triangles, size, size)
 
+    # Backward ablations (gathered mode): the hard backward's per-step cost
+    # splits into (a) the XLA winner-plan prepass — _prepare_bwd_tables
+    # sorts the id image per strip, compacts winner segments, gathers a
+    # fresh combined table — and (b) the Pallas backward kernel itself.
+    # Timing them separately attributes any gathered-vs-chunk step-time gap.
+    from pytorch_mesh_renderer_tpu import config as config_lib
+
+    binning = config_lib.HARD_CONFIG.binning
+    interp = rp._default_interpret(None)
+    clip0 = jax.jit(clip_of)(scene["vertices"])
+    attrs0 = jnp.concatenate(
+        [scene["normals"], scene["vertices"], scene["diffuse"]], axis=2)
+    a_pad = rp._pad_attr_count(attrs0.shape[-1])
+    tri_data0 = rp._pack_batched(clip0, triangles, chunk)
+    attr_packed0 = rp._pack_corner_attributes(attrs0, triangles, a_pad,
+                                              tri_data0.shape[1])
+    _, base0, _, _, _, _ = jax.jit(
+        lambda td, ap: rp._prepare_tables(td, ap, chunk, size, size, 0,
+                                          size, binning))(tri_data0,
+                                                          attr_packed0)
+    ids0, bc0, attr_img0 = jax.jit(pallas_fwd_fn)(scene["vertices"])
+    df_dbc0 = jnp.ones_like(bc0)
+    df_dattr0 = jnp.ones_like(attr_img0)
+
+    def bwd_prepass_fn(base, ids, bc):
+        return rp._prepare_bwd_tables(base, ids, bc, chunk, size, size, 0,
+                                      size, binning)
+
+    tables0 = jax.jit(bwd_prepass_fn)(base0, ids0, bc0)
+    table0, _, plan0, candidates0, counts0 = tables0
+
+    def bwd_kernel_fn(table, plan, candidates, counts, ids, bc, df_dbc,
+                      df_dattr):
+        return rp._backward_fused(
+            table, plan, candidates, counts, triangles,
+            scene["vertices"].shape[1], attrs0.shape[-1], ids, bc, df_dbc,
+            df_dattr, 0, size, size, size, interp, "default")
+
     stages = {
         "full": jax.jit(jax.value_and_grad(loss_fn)),
         "fwd": jax.jit(fwd_fn),
@@ -223,10 +261,16 @@ def main():
         "bin_nosort": jax.jit(bin_nosort_fn),
         "camera": jax.jit(clip_of),
         "noop": jax.jit(lambda v: v + 1.0),
+        "bwd_prepass": (jax.jit(bwd_prepass_fn), (base0, ids0, bc0)),
+        "bwd_kernel": (jax.jit(bwd_kernel_fn),
+                       (table0, plan0, candidates0, counts0, ids0, bc0,
+                        df_dbc0, df_dattr0)),
     }
     results = {}
     for name, fn in stages.items():
-        dt = time_fn(fn, scene["vertices"], iters=args.iters)
+        fn, fargs = fn if isinstance(fn, tuple) else (fn,
+                                                      (scene["vertices"],))
+        dt = time_fn(fn, *fargs, iters=args.iters)
         results[name] = round(dt * 1e3, 4)
         print(f"{name:12s} {dt * 1e3:8.3f} ms", flush=True)
     results["batch"] = args.batch

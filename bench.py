@@ -86,6 +86,12 @@ def _emit(record):
     record = dict(record)
     record.setdefault("git_sha", _git_sha())
     binning = config_lib.HARD_CONFIG.binning
+    if binning == "auto":
+        # Self-describe the per-path resolution (rasterize_pallas /
+        # soft_rasterize_pallas._resolve_binning): hard kernels -> chunk,
+        # soft full render -> gathered while single-pass, silhouette ->
+        # chunk (BENCH.md round-4 A/B).
+        binning = "auto(hard=chunk,soft=gathered|chunk,sil=chunk)"
     if _PROBE_FELL_BACK:
         binning += " (probe-fallback)"
     record.setdefault("binning", binning)
@@ -586,8 +592,18 @@ def _probe_gathered_binning(platform):
     from pytorch_mesh_renderer_tpu.ops import soft_rasterize_pallas as sp
     from pytorch_mesh_renderer_tpu.models import shapes
 
-    if config_lib.HARD_CONFIG.binning != "gathered":
-        return  # chunk mode selected (e.g. MESH_RENDERER_BINNING) — no probe
+    # Probe exactly the gathered paths the current configs will actually
+    # run (under the default 'auto': hard resolves to chunk — skip; the
+    # full soft render resolves to gathered — probe; silhouette resolves
+    # to chunk — skip).
+    probe_hard = rp._resolve_binning(
+        config_lib.HARD_CONFIG.binning) == "gathered"
+    soft_cfg = config_lib.SOFT_CONFIG.binning
+    probe_soft = sp._resolve_binning(soft_cfg, 1) == "gathered"
+    probe_sil = sp._resolve_binning(soft_cfg, 1,
+                                    silhouette=True) == "gathered"
+    if not (probe_hard or probe_soft or probe_sil):
+        return  # chunk everywhere (e.g. MESH_RENDERER_BINNING) — no probe
 
     v, t, n = (jnp.asarray(a) for a in shapes.sphere(1.0, resolution=6))
     clip = camera.transform_homogeneous(
@@ -603,25 +619,28 @@ def _probe_gathered_binning(platform):
 
         def probe(c, a):
             _, bc, ai = rp.rasterize_interpolate_pallas_batched(
-                c, a, tris, 32, 32)
+                c, a, tris, 32, 32, binning="gathered")
             return jnp.sum(bc ** 2) + jnp.sum(ai ** 2)
-
-        jax.block_until_ready(jax.grad(probe)(clip, attrs))
 
         def probe_soft(c):  # forward AND backward kernels
             rgba = sp.soft_rasterize_pallas_batched(
                 c, jnp.asarray(t, jnp.int32), v[None], n[None],
                 jnp.ones_like(v)[None], jnp.ones([1, 1, 3]),
-                jnp.ones([1, 1]), 32, 32, 1e-4, 1e-3)
+                jnp.ones([1, 1]), 32, 32, 1e-4, 1e-3, binning="gathered")
             return jnp.sum(rgba ** 2)
 
         def probe_sil(c):  # silhouette fwd + bwd kernels
             alpha = sp.soft_rasterize_silhouette_pallas_batched(
-                c, jnp.asarray(t, jnp.int32), 32, 32, 1e-4)
+                c, jnp.asarray(t, jnp.int32), 32, 32, 1e-4,
+                binning="gathered")
             return jnp.sum(alpha ** 2)
 
-        jax.block_until_ready(jax.grad(probe_soft)(clip))
-        jax.block_until_ready(jax.grad(probe_sil)(clip))
+        if probe_hard:
+            jax.block_until_ready(jax.grad(probe)(clip, attrs))
+        if probe_soft:
+            jax.block_until_ready(jax.grad(probe_soft)(clip))
+        if probe_sil:
+            jax.block_until_ready(jax.grad(probe_sil)(clip))
     except Exception as e:  # pragma: no cover - toolchain regression path
         global _PROBE_FELL_BACK
         _PROBE_FELL_BACK = True

@@ -12,13 +12,17 @@ from __future__ import annotations
 import dataclasses
 import os
 
-# Default binning mode for both rasterizers. The env override exists so
-# benchmark sweeps can compare 'gathered' vs 'chunk' on identical trees
-# without editing code (see BENCH.md "binning mode comparison").
-_DEFAULT_BINNING = os.environ.get("MESH_RENDERER_BINNING", "gathered")
-if _DEFAULT_BINNING not in ("gathered", "chunk"):
+# Default binning mode for both rasterizers. 'auto' resolves per kernel
+# path from the round-4 v5e measurements (BENCH.md): hard -> chunk, soft
+# full render -> gathered while the mesh fits one gathered pass, soft
+# silhouette -> chunk. The env override forces ONE concrete mode
+# everywhere so benchmark sweeps can compare 'gathered' vs 'chunk' on
+# identical trees without editing code.
+_DEFAULT_BINNING = os.environ.get("MESH_RENDERER_BINNING", "auto")
+if _DEFAULT_BINNING not in ("auto", "gathered", "chunk"):
     raise ValueError(
-        f"MESH_RENDERER_BINNING={_DEFAULT_BINNING!r} (want 'gathered' or 'chunk')")
+        f"MESH_RENDERER_BINNING={_DEFAULT_BINNING!r} "
+        "(want 'auto', 'gathered' or 'chunk')")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,13 +52,17 @@ class HardRasterizerConfig:
         the parallel.sharded_* wrappers, from the mesh's own devices so a
         CPU dry-run mesh never attempts a Mosaic compile even when a TPU
         default backend exists). True/False force the mode.
-      binning: 'gathered' (default) — triangle-granularity per-tile
-        binning: an XLA prepass scatters each triangle's packed row into
-        per-tile chunk-aligned segments, so kernels visit only true
+      binning: 'auto' (default) — resolved per kernel path from measured
+        v5e tradeoffs (hard -> 'chunk': the gathered plan prepass costs
+        more than its culled visits save on every hard config, BENCH.md
+        round 4). 'gathered' — triangle-granularity per-tile binning: an
+        XLA prepass scatters each triangle's packed row into per-tile
+        chunk-aligned segments, so kernels visit only true
         (triangle, tile) bbox overlaps (~1.5-2.4x fewer visits than
         chunk-granularity unions on the bench scenes); triangles spanning
         many tiles fall back to the in-kernel legacy loop. 'chunk' — the
-        chunk-granularity prepass alone (debug/benchmark knob).
+        chunk-granularity prepass alone. Outputs are bit-identical across
+        modes.
     """
     backend: str = "auto"
     triangle_chunk: int = 64
@@ -73,10 +81,12 @@ class SoftRasterizerConfig:
       triangle_chunk: triangles per online-aggregation scan step.
       eps: background-probability floor (reference EPS=1e-10,
         soft_mesh_renderer/rasterize.py:211).
-      binning: 'gathered' (default — triangle-granularity per-tile
-        binning over the blur-inflated bboxes; exact partition, additive
-        aggregation unchanged) or 'chunk' (legacy chunk-granularity
-        prepass). See HardRasterizerConfig.binning.
+      binning: 'auto' (default) — full render resolves to 'gathered'
+        (triangle-granularity binning over the blur-inflated bboxes; the
+        one path where it measures faster, +5-12% on v5e) while the mesh
+        fits one gathered pass, else 'chunk'; the silhouette kernels
+        always resolve to 'chunk' (BENCH.md round 4). 'gathered'/'chunk'
+        force a mode. See HardRasterizerConfig.binning.
       interpret: see HardRasterizerConfig.interpret.
     """
     backend: str = "auto"

@@ -74,16 +74,34 @@ TILE_H = 16
 TILE_W = 128
 # Gathered-segment strip height: triangles bin to SEG_H-row strips of each
 # tile and the kernels process [chunk, SEG_H, TILE_W] lane blocks per
-# visit. The kernels are occupancy-bound (valid lanes are sparse in a
-# dense 16-row block); halving the strip height trades ~19% more chunk
-# visits for ~40% less raw lane-work at the bench configs
-# (scripts/soft_occupancy_analysis.py --hard). 8 is the f32 sublane
-# quantum; MESH_RENDERER_HARD_SEG_H=16 recovers the full-tile
-# decomposition for A/B measurements.
-SEG_H = int(os.environ.get("MESH_RENDERER_HARD_SEG_H", "8"))
+# visit. The CPU lane-occupancy model said SEG_H=8 should win (~19% more
+# chunk visits for ~40% less raw lane-work), but measured on v5e it LOSES
+# everywhere (BENCH.md round 4: hard headline 389 vs 490 renders/s under
+# gathered) — the doubled loop trips and halved block area cost more than
+# the dead lanes they cull. Default is therefore 16 = full-tile blocks;
+# MESH_RENDERER_HARD_SEG_H=8 (the f32 sublane quantum) recovers the fine
+# decomposition for A/B sweeps.
+SEG_H = int(os.environ.get("MESH_RENDERER_HARD_SEG_H", "16"))
 if TILE_H % SEG_H:
     raise ValueError(f"SEG_H={SEG_H} must divide TILE_H={TILE_H}")
 N_SEG = TILE_H // SEG_H
+# Hard-backward plan source. 'forward' (default) reuses the forward
+# pass's plan + two-section table verbatim (zero backward prepass) — in
+# gathered mode rows whose triangle won no pixel in the tile are zeroed by
+# the in-kernel winner mask exactly as legacy rows always were; in chunk
+# mode the forward and backward tables are bit-identical by construction,
+# so the reuse just deletes the backward's _bin_chunks re-run + table
+# copy. 'winner' rebuilds winner-only segments from the forward id image
+# each step — ~3x fewer backward chunk visits, but the per-step per-tile
+# pixel sort + scatter + table re-gather costs far more than the culled
+# visits save (measured r4: headline bwd prepass ~1.4 ms vs a ~1.2 ms bwd
+# kernel; at the 512^2 batch-64 stress the sort covers 33M pixels/step).
+# Env knob kept for A/B.
+BWD_PLAN = os.environ.get("MESH_RENDERER_HARD_BWD_PLAN", "forward")
+if BWD_PLAN not in ("forward", "winner"):
+    raise ValueError(
+        f"MESH_RENDERER_HARD_BWD_PLAN={BWD_PLAN!r} "
+        "(want 'forward' or 'winner')")
 # Triangles processed per inner step ([chunk, SEG_H, TILE_W] temporaries).
 # Chunk size is also the BINNING granularity (per-tile candidate lists are
 # chunk-aligned), so smaller chunks cull tighter. Measured on v5e with
@@ -296,11 +314,22 @@ def _gather_plan(bbox5, chunk, image_width, image_height, row_offset,
         tile_k = jnp.clip(r_k * n_cols + c_k, 0, n_tiles - 1)
         valid_k = keep[:, None] & (k[None] < nspan[:, None])
         rank_k = jnp.take_along_axis(rank, tile_k, axis=1)
-        dst = jnp.where(valid_k, ps[tile_k] + rank_k, budget_rows)
+        # Valid destinations are unique by construction (per-tile ranks are
+        # distinct, per-tile slot ranges are disjoint); giving every
+        # INVALID entry its own distinct out-of-bounds slot (dropped by
+        # mode="drop") makes the whole index set unique, so
+        # unique_indices=True lets XLA lower the scatter as a fully
+        # parallel store instead of the duplicate-safe serializing path —
+        # the difference between a ~5 ms and a sub-ms prepass at the 256^2
+        # headline (BENCH.md round 4).
+        oob = budget_rows + jnp.arange(
+            t_pad * cap, dtype=jnp.int32).reshape(t_pad, cap)
+        dst = jnp.where(valid_k, ps[tile_k] + rank_k, oob)
         src = jnp.broadcast_to(
             jnp.arange(t_pad, dtype=jnp.int32)[:, None], dst.shape)
         gather_idx = jnp.full((budget_rows,), t_pad, jnp.int32).at[
-            dst.reshape(-1)].set(src.reshape(-1), mode="drop")
+            dst.reshape(-1)].set(src.reshape(-1), mode="drop",
+                                 unique_indices=True)
 
         start_chunk = jnp.where(tile_fits, ps, 0) // chunk
         n_chunks = jnp.where(tile_fits, pc, 0) // chunk
@@ -312,9 +341,13 @@ def _gather_plan(bbox5, chunk, image_width, image_height, row_offset,
 
 
 def _legacy_plan(batch, t_pad, chunk, n_rows, n_cols):
-    """A trivial plan routing every triangle to the legacy loop."""
+    """A trivial plan routing every triangle to the legacy loop.
+
+    keep is None (no triangle is gathered), which lets _build_tables skip
+    the gather/masking entirely — the chunk-mode table is just one dead
+    sentinel chunk prepended to the untouched base."""
     return (jnp.full((batch, chunk), t_pad, jnp.int32),
-            jnp.zeros((batch, t_pad), bool),
+            None,
             jnp.zeros((batch, n_rows, n_cols, 1), jnp.int32),
             jnp.zeros((batch, n_rows, n_cols, 1), jnp.int32))
 
@@ -368,14 +401,27 @@ def _build_tables(tri_data, attr_packed, plan, live_col=15, with_id=True):
     sentinel = jnp.zeros((batch, 1, width), jnp.float32)
     if with_id:
         sentinel = sentinel.at[:, 0, _ID_COL].set(-1.0)
+    if keep is None:
+        # Chunk mode (_legacy_plan): section A is one all-dead sentinel
+        # chunk and the legacy section is the UNTOUCHED base — no gather,
+        # no liveness/id masking, no ext concat.
+        dup = jnp.broadcast_to(sentinel,
+                               (batch, gather_idx.shape[1], width))
+        return jnp.concatenate([dup, base], axis=1), base
     ext = jnp.concatenate([base, sentinel], axis=1)
     dup = jnp.take_along_axis(ext, gather_idx[..., None], axis=1)
-    # Kept triangles' legacy rows are dead (live 0); their ids can stay —
-    # dead rows can never win (valid requires live > 0, and winner masks
-    # derive from validity), and the backward rebuilds its own tables from
-    # `base` rather than reading this one.
+    # Kept triangles' legacy rows are dead (live 0). Their id column must
+    # ALSO be neutralized (-1): the forward never reads dead rows' ids
+    # (valid requires live > 0), but the BWD_PLAN='forward' backward reuses
+    # this table and its winner mask is a pure `ids == tid` match — a kept
+    # triangle's id surviving in a legacy chunk that gets visited for a
+    # neighboring overflow triangle would double-count its gradient
+    # (caught by test_gathered_cap_and_budget_fallback at cap=1).
     legacy = base.at[..., live_col].multiply(
         1.0 - keep.astype(jnp.float32))
+    if with_id:
+        legacy = legacy.at[..., _ID_COL].set(
+            jnp.where(keep, -1.0, legacy[..., _ID_COL]))
     return jnp.concatenate([dup, legacy], axis=1), base
 
 
@@ -430,12 +476,17 @@ def _winner_plan(ids, bc, chunk, budget_rows, tile_h=None, tile_w=None):
         axis=-1)
     tile_fits = ps + pc <= budget_rows
 
+    # Unique out-of-bounds slots for the dropped entries so the scatter
+    # qualifies for unique_indices=True (see _gather_plan).
+    oob = budget_rows + jnp.arange(
+        n_tiles * n_pix, dtype=jnp.int32).reshape(n_tiles, n_pix)
     dst = jnp.where(first & tile_fits[..., None],
-                    ps[..., None] + rank, budget_rows)
+                    ps[..., None] + rank, oob[None])
 
     def scatter_one(d, v):
         return jnp.full((budget_rows,), -1, jnp.int32).at[
-            d.reshape(-1)].set(v.reshape(-1), mode="drop")
+            d.reshape(-1)].set(v.reshape(-1), mode="drop",
+                               unique_indices=True)
 
     gather_idx = jax.vmap(scatter_one)(dst, s)
     start_chunk = (jnp.where(tile_fits, ps, 0) // chunk).reshape(
@@ -787,6 +838,22 @@ MAX_GATHERED_TRIANGLES = int(
 def _max_pass_triangles(binning):
     return (MAX_GATHERED_TRIANGLES if binning == "gathered"
             else MAX_PALLAS_TRIANGLES)
+
+
+def _resolve_binning(binning):
+    """Resolve the 'auto' binning mode for the HARD kernels: chunk.
+
+    Measured on v5e (BENCH.md round 4 A/B, identical tree): gathered
+    binning loses at every hard config — headline 256^2 −44%, 512^2
+    batch-64 stress −69%, 100k-tri multipass 2.0x slower — because its
+    per-step XLA scatter-plan prepass and the gathered table's duplicated
+    rows cost more than the ~2x culled kernel visits save, and its lower
+    per-pass cap (12,288 vs 49,152 tris) triples large-mesh pass counts.
+    'gathered'/'chunk' force a concrete mode (bit-identical outputs).
+    """
+    if binning == "auto":
+        return "chunk"
+    return binning
 
 
 def _triangle_slices(n_triangles, max_triangles=MAX_PALLAS_TRIANGLES):
@@ -1178,20 +1245,35 @@ def _fwd(clip_vertices, triangles, row_offset, image_width, image_height,
                                row_offset, image_width, image_height,
                                full_height, interpret)
     ids, bc, _ = out
-    # The backward rebuilds its own (winner-segment) tables from `base` —
-    # the forward's gathered table and plan are not needed again.
-    residuals = (jax.lax.stop_gradient(base), triangles,
-                 clip_vertices.shape[1], ids, bc, row_offset)
+    if BWD_PLAN == "forward":
+        # The backward reuses this pass's plan + table verbatim (both are
+        # already computed; no backward prepass at all). In chunk mode the
+        # forward and backward tables are bit-identical by construction
+        # (one dead sentinel chunk + the full-liveness original section),
+        # so the reuse skips an entire _bin_chunks re-run + table copy.
+        saved = jax.lax.stop_gradient((table, plan, candidates, counts))
+    else:
+        # BWD_PLAN='winner': the backward rebuilds winner-segment tables
+        # from `base` (gathered mode; chunk mode rebuilds chunk tables).
+        saved = jax.lax.stop_gradient(base)
+    residuals = (saved, triangles, clip_vertices.shape[1], ids, bc,
+                 row_offset)
     return out, residuals
 
 
 def _bwd(image_width, image_height, full_height, interpret, dot_precision,
          binning, residuals, cotangents):
-    base, triangles, vertex_count, ids, bc, row_offset = residuals
+    saved, triangles, vertex_count, ids, bc, row_offset = residuals
     _, df_dbc, _ = cotangents
-    table, s_rows, plan, candidates, counts = _prepare_bwd_tables(
-        base, ids, bc, TRI_CHUNK, image_width, image_height, row_offset,
-        full_height, binning)
+    if BWD_PLAN == "forward":
+        table, plan, candidates, counts = saved
+        # The forward's legacy candidate counts are per tile; the backward
+        # kernel consumes them per SEG_H strip.
+        counts = jnp.repeat(counts, N_SEG, axis=1)
+    else:
+        table, s_rows, plan, candidates, counts = _prepare_bwd_tables(
+            saved, ids, bc, TRI_CHUNK, image_width, image_height,
+            row_offset, full_height, binning)
     df_dvertices = _backward_pallas(
         table, plan, candidates, counts, triangles, vertex_count, ids, bc,
         df_dbc, row_offset, image_width, image_height, full_height,
@@ -1218,7 +1300,7 @@ def rasterize_barycentric_pallas_batched(clip_vertices, triangles,
                                          row_offset=None, full_height=None,
                                          interpret=None,
                                          dot_precision="default",
-                                         binning="gathered"):
+                                         binning="auto"):
     """Differentiable tiled-Pallas hard rasterization of a mesh batch.
 
     clip_vertices is [batch, V, 4]; returns (ids [B, H, W] i32,
@@ -1226,10 +1308,11 @@ def rasterize_barycentric_pallas_batched(clip_vertices, triangles,
     one pallas_call with batch as the leading grid dimension (do NOT vmap
     over this function — batching is native). Meshes beyond the per-pass
     cap render in multiple depth-merged passes, so the triangle dimension
-    scales to HBM capacity. `binning` selects triangle-granularity
-    'gathered' tile lists (default; bit-identical, tighter culling) or the
-    'chunk'-granularity legacy prepass.
+    scales to HBM capacity. `binning`: 'auto' (default — chunk on the hard
+    path, see _resolve_binning), 'gathered' (triangle-granularity tile
+    lists; bit-identical) or 'chunk' (chunk-granularity prepass).
     """
+    binning = _resolve_binning(binning)
     if full_height is None:
         full_height = image_height
     if row_offset is None:
@@ -1262,7 +1345,7 @@ def rasterize_barycentric_pallas(clip_vertices, triangles, image_width,
                                  image_height, row_offset=None,
                                  full_height=None, interpret=None,
                                  dot_precision="default",
-                                 binning="gathered"):
+                                 binning="auto"):
     """Single-mesh wrapper over the batched Pallas rasterizer.
 
     Same contract as rasterize_xla.rasterize_barycentric_xla (ids /
@@ -1764,25 +1847,36 @@ def _interp_fwd(clip_vertices, attributes, triangles, row_offset,
         dot_precision, with_z=with_z)
     attr_images = jnp.moveaxis(attrs, 1, -1)[..., :a]  # [B, H, W, A]
     out = (ids, bc, attr_images) + ((z,) if with_z else ())
-    # The backward rebuilds its own (winner-segment) tables from `base` —
-    # the forward's gathered table and plan are not needed again.
-    residuals = (jax.lax.stop_gradient(base), triangles,
-                 clip_vertices.shape[1], a, ids, bc, row_offset)
+    if BWD_PLAN == "forward":
+        # The backward reuses this pass's plan + table verbatim (see _fwd;
+        # in chunk mode the tables are bit-identical by construction).
+        saved = jax.lax.stop_gradient((table, plan, candidates, counts))
+    else:
+        # BWD_PLAN='winner': the backward rebuilds winner-segment tables
+        # from `base`.
+        saved = jax.lax.stop_gradient(base)
+    residuals = (saved, triangles, clip_vertices.shape[1], a, ids, bc,
+                 row_offset)
     return out, residuals
 
 
 def _interp_bwd(image_width, image_height, full_height, interpret, with_z,
                 dot_precision, binning, residuals, cotangents):
-    (base, triangles, vertex_count, attribute_count, ids, bc,
+    (saved, triangles, vertex_count, attribute_count, ids, bc,
      row_offset) = residuals
     # Any z cotangent is discarded: the kernel produces no vertex-z gradient
     # (cpp:232-269 property) and z feeds only stop-gradient-style winner
     # selection in the multi-pass merge.
     _, df_dbc, df_dattr = cotangents[0], cotangents[1], cotangents[2]
     chunk = _fused_chunk_for(np.shape(triangles)[-2])
-    table, s_rows, plan, candidates, counts = _prepare_bwd_tables(
-        base, ids, bc, chunk, image_width, image_height, row_offset,
-        full_height, binning)
+    if BWD_PLAN == "forward":
+        table, plan, candidates, counts = saved
+        # Per-tile forward legacy counts -> per-strip backward counts.
+        counts = jnp.repeat(counts, N_SEG, axis=1)
+    else:
+        table, s_rows, plan, candidates, counts = _prepare_bwd_tables(
+            saved, ids, bc, chunk, image_width, image_height, row_offset,
+            full_height, binning)
     df_dvertices, df_dattributes = _backward_fused(
         table, plan, candidates, counts, triangles, vertex_count,
         attribute_count, ids, bc, df_dbc, df_dattr, row_offset,
@@ -1801,7 +1895,7 @@ def rasterize_interpolate_pallas_batched(clip_vertices, attributes,
                                          full_height=None, interpret=None,
                                          dot_precision="default",
                                          spatial_sort=True,
-                                         binning="gathered"):
+                                         binning="auto"):
     """Fused differentiable rasterization + attribute interpolation.
 
     Args:
@@ -1815,9 +1909,10 @@ def rasterize_interpolate_pallas_batched(clip_vertices, attributes,
         triangles can resolve to the other triangle. The gathered mode
         bins at triangle granularity (exact per-triangle tile lists), so
         a sort cannot tighten it and the flag is ignored.
-      binning: 'gathered' (default — triangle-granularity per-tile
+      binning: 'auto' (default — resolves to 'chunk' on the hard path,
+        see _resolve_binning), 'gathered' (triangle-granularity per-tile
         segments; bit-identical results, reference later-id tie rule on
-        ORIGINAL ids) or 'chunk' (legacy chunk-granularity prepass).
+        ORIGINAL ids) or 'chunk' (chunk-granularity prepass).
 
     Returns:
       (ids [B, H, W] i32, barycentrics [B, H, W, 3] f32,
@@ -1829,6 +1924,7 @@ def rasterize_interpolate_pallas_batched(clip_vertices, attributes,
       CALLER's triangle array (the spatial sort is translated back; the
       translation is dead-code-eliminated when ids go unused).
     """
+    binning = _resolve_binning(binning)
     if full_height is None:
         full_height = image_height
     if row_offset is None:

@@ -67,14 +67,14 @@ TILE_W = 128
 TRI_CHUNK = 8
 # Gathered-segment strip height: triangles bin to SEG_H-row strips of each
 # (TILE_H, TILE_W) tile, and the kernels process [TRI_CHUNK, SEG_H, TILE_W]
-# lane blocks per visit instead of full-tile blocks. The soft kernels'
-# efficiency ceiling is valid-lane occupancy (~0.2% per dense 16-row block,
-# BENCH.md), so halving the strip height trades ~17% more chunk visits for
-# ~41%/36% less raw lane-work at the 128^2/256^2 teapot
-# (scripts/soft_occupancy_analysis.py). 8 is the f32 sublane quantum —
-# the finest strip Mosaic can address; set MESH_RENDERER_SOFT_SEG_H=16 to
-# recover the full-tile decomposition for A/B measurements.
-SEG_H = int(os.environ.get("MESH_RENDERER_SOFT_SEG_H", "8"))
+# lane blocks per visit instead of full-tile blocks. The CPU occupancy
+# model favored SEG_H=8 (~17% more chunk visits for ~41%/36% less raw
+# lane-work at the 128^2/256^2 teapot), but measured on v5e it LOSES
+# (BENCH.md round 4: soft 128^2 309 vs 365 renders/s under gathered) —
+# doubled loop trips and halved block area outweigh the culled lanes.
+# Default 16 = full-tile blocks; MESH_RENDERER_SOFT_SEG_H=8 (the f32
+# sublane quantum) recovers the fine decomposition for A/B sweeps.
+SEG_H = int(os.environ.get("MESH_RENDERER_SOFT_SEG_H", "16"))
 if TILE_H % SEG_H:
     raise ValueError(f"SEG_H={SEG_H} must divide TILE_H={TILE_H}")
 N_SEG = TILE_H // SEG_H
@@ -106,6 +106,26 @@ MAX_GATHERED_TRIANGLES = int(
 def _max_pass_triangles(binning):
     return (MAX_GATHERED_TRIANGLES if binning == "gathered"
             else MAX_PALLAS_TRIANGLES)
+
+
+def _resolve_binning(binning, tri_count, silhouette=False):
+    """Resolve the 'auto' binning mode for the SOFT kernels.
+
+    Per-path defaults from the round-4 v5e A/B (BENCH.md): the full soft
+    render is the one path where gathered binning wins (+4.6% at 128^2,
+    +12% at 256^2 — its additive bbox segments need no winner prepass and
+    the high per-pair soft cost makes the ~2x visit cut pay for the plan),
+    but only while the mesh fits ONE gathered pass: the lower gathered cap
+    (12,288 vs 49,152 tris/pass) makes multi-pass meshes +32% slower, so
+    those route to chunk. The silhouette kernels' per-pair cost is ~half
+    the full render's, which flips the tradeoff (−18% under gathered) —
+    they always resolve to chunk.
+    """
+    if binning != "auto":
+        return binning
+    if silhouette or tri_count > MAX_GATHERED_TRIANGLES:
+        return "chunk"
+    return "gathered"
 
 
 def _pack_triangle_data(clip_space_vertices, triangles, world_space_vertices,
@@ -1093,7 +1113,7 @@ _soft_sil_core.defvjp(lambda *args: _sil_fwd(*args), _sil_bwd)
 def soft_rasterize_silhouette_pallas_batched(
         clip_space_vertices, triangles, image_width, image_height,
         sigma_val, blur_radius=0.01, row_offset=None, full_height=None,
-        interpret=None, dot_precision="default", binning="gathered"):
+        interpret=None, dot_precision="default", binning="auto"):
     """Silhouette-only SoftRas: [B, H, W] alpha, ~2x the full fwd+bwd rate.
 
     Bit-identical to soft_rasterize_pallas_batched(...)[..., 3] (same
@@ -1115,6 +1135,7 @@ def soft_rasterize_silhouette_pallas_batched(
             "be traced.")
     interpret = _default_interpret(interpret)
     tris = jnp.asarray(triangles, jnp.int32)
+    binning = _resolve_binning(binning, tris.shape[0], silhouette=True)
     row_off = jnp.asarray(row_offset, jnp.int32)
     sigma = jnp.asarray(sigma_val, jnp.float32)
     hard_pallas._resolve_precision(dot_precision)  # validate eagerly
@@ -1356,7 +1377,7 @@ def soft_rasterize_pallas_batched(clip_space_vertices, triangles,
                                   blur_radius=0.01, row_offset=None,
                                   full_height=None, interpret=None,
                                   dot_precision="default",
-                                  binning="gathered"):
+                                  binning="auto"):
     """Soft-rasterize a mesh batch with the tiled Pallas fwd+bwd kernels.
 
     All scene inputs carry a leading batch dimension (clip [B, V, 4], world
@@ -1379,6 +1400,7 @@ def soft_rasterize_pallas_batched(clip_space_vertices, triangles,
             "(SoftRasterizerConfig(backend='xla')) to trace blur_radius.")
     interpret = _default_interpret(interpret)
     tris = jnp.asarray(triangles, jnp.int32)
+    binning = _resolve_binning(binning, tris.shape[0])
     row_off = jnp.asarray(row_offset, jnp.int32)
     sigma = jnp.asarray(sigma_val, jnp.float32)
     gamma = jnp.asarray(gamma_val, jnp.float32)
@@ -1438,7 +1460,7 @@ def rasterize_batch_pallas(clip_space_vertices, triangles,
                            image_height, sigma_val, gamma_val,
                            blur_radius=0.01, row_offset=None,
                            full_height=None, interpret=None,
-                           dot_precision="default", binning="gathered"):
+                           dot_precision="default", binning="auto"):
     """Single-mesh wrapper over the batched Pallas soft rasterizer.
 
     Contract identical to soft_rasterize.rasterize_batch.

@@ -68,9 +68,12 @@ def main():
     scene = bench.build_scene(args.batch, size, args.resolution)
 
     if args.soft:
+        from pytorch_mesh_renderer_tpu import config as config_lib
         from pytorch_mesh_renderer_tpu.ops import soft_rasterize_pallas as mod
         size = min(size, 128)
-        cap = mod._max_pass_triangles("gathered")
+        n_tri = scene["triangles"].shape[0]
+        cap = mod._max_pass_triangles(mod._resolve_binning(
+            config_lib.SOFT_CONFIG.binning, n_tri))
         triangles = scene["triangles"][:, ::-1].copy()  # CCW
 
         def make_step(tris):
@@ -82,8 +85,10 @@ def main():
                 return jnp.mean(images[..., 3] ** 2)
             return jax.jit(jax.value_and_grad(loss_fn))
     else:
+        from pytorch_mesh_renderer_tpu import config as config_lib
         from pytorch_mesh_renderer_tpu.ops import rasterize_pallas as mod
-        cap = mod._max_pass_triangles("gathered")
+        cap = mod._max_pass_triangles(mod._resolve_binning(
+            config_lib.HARD_CONFIG.binning))
         triangles = scene["triangles"]
 
         def make_step(tris):

@@ -220,7 +220,7 @@ def main():
     # Timing them separately attributes any gathered-vs-chunk step-time gap.
     from pytorch_mesh_renderer_tpu import config as config_lib
 
-    binning = config_lib.HARD_CONFIG.binning
+    binning = rp._resolve_binning(config_lib.HARD_CONFIG.binning)
     interp = rp._default_interpret(None)
     clip0 = jax.jit(clip_of)(scene["vertices"])
     attrs0 = jnp.concatenate(
@@ -229,7 +229,7 @@ def main():
     tri_data0 = rp._pack_batched(clip0, triangles, chunk)
     attr_packed0 = rp._pack_corner_attributes(attrs0, triangles, a_pad,
                                               tri_data0.shape[1])
-    _, base0, _, _, _, _ = jax.jit(
+    ftab0, base0, _, fplan0, fcand0, fcounts0 = jax.jit(
         lambda td, ap: rp._prepare_tables(td, ap, chunk, size, size, 0,
                                           size, binning))(tri_data0,
                                                           attr_packed0)
@@ -237,12 +237,21 @@ def main():
     df_dbc0 = jnp.ones_like(bc0)
     df_dattr0 = jnp.ones_like(attr_img0)
 
-    def bwd_prepass_fn(base, ids, bc):
-        return rp._prepare_bwd_tables(base, ids, bc, chunk, size, size, 0,
-                                      size, binning)
+    if rp.BWD_PLAN == "forward":
+        # Shipping path: the backward reuses the forward plan/table — its
+        # "prepass" is just the per-strip repeat of the legacy counts.
+        def bwd_prepass_fn(base, ids, bc):
+            return jnp.repeat(fcounts0, rp.N_SEG, axis=1)
 
-    tables0 = jax.jit(bwd_prepass_fn)(base0, ids0, bc0)
-    table0, _, plan0, candidates0, counts0 = tables0
+        table0, plan0, candidates0 = ftab0, fplan0, fcand0
+        counts0 = jax.jit(bwd_prepass_fn)(base0, ids0, bc0)
+    else:
+        def bwd_prepass_fn(base, ids, bc):
+            return rp._prepare_bwd_tables(base, ids, bc, chunk, size, size,
+                                          0, size, binning)
+
+        tables0 = jax.jit(bwd_prepass_fn)(base0, ids0, bc0)
+        table0, _, plan0, candidates0, counts0 = tables0
 
     def bwd_kernel_fn(table, plan, candidates, counts, ids, bc, df_dbc,
                       df_dattr):

@@ -1,8 +1,10 @@
 #!/bin/bash
-# Sequential TPU validation pipeline for the gathered-binning + SEG_H-strip
-# kernels. One TPU job at a time (the chip is exclusive). Logs to $OUT
-# (default /tmp/tpu_validate). Safe to re-run; each step overwrites its own
-# log.
+# Sequential TPU validation pipeline for the round-4 FINAL defaults
+# (binning='auto': hard->chunk, soft full->gathered single-pass, sil->chunk;
+# SEG_H=16 full-tile blocks; gathered hard backward reuses the forward plan,
+# BWD_PLAN=forward). One TPU job at a time (the chip is exclusive). Logs to
+# $OUT (default /tmp/tpu_validate). Safe to re-run; each step overwrites its
+# own log.
 set -u
 OUT=${OUT:-/tmp/tpu_validate}
 mkdir -p "$OUT"
@@ -11,7 +13,7 @@ cd "$(dirname "$0")/.."
 # The tunnel can degrade mid-pipeline (device enumeration keeps working
 # while execution hangs — seen r3/r4). Re-probe liveness with a real
 # compile+execute round-trip before every step so a dead backend costs a
-# probe timeout, not each step's full 30-min budget.
+# probe timeout, not each step's full budget.
 alive() {
   timeout 240 python -c "
 import jax, jax.numpy as jnp
@@ -36,46 +38,54 @@ step() {
 
 : >"$OUT/summary.txt"
 # 1. Compiled kernel suites — the Mosaic gate interpret mode cannot check.
-# This box has one CPU core, so first-run Mosaic compiles dominate; the
-# suites get a 90-min budget (later steps reuse the persistent compile
-# cache conftest/bench enable).
+# The gathered parity tests force binning explicitly, so both modes compile
+# regardless of the 'auto' default. One CPU core: first-run Mosaic compiles
+# dominate; 90-min budget (reruns hit the persistent compile cache).
 STEP_TIMEOUT=5400 step hard_native env MESH_RENDERER_TEST_PLATFORM=native \
   python -m pytest tests/test_rasterize_pallas.py -q
 STEP_TIMEOUT=5400 step soft_native env MESH_RENDERER_TEST_PLATFORM=native \
   python -m pytest tests/test_soft_pallas.py -q
 
-# 2. Benches under the shipping default (SEG_H=8 strips, gathered binning).
+# 2. Every bench config under the shipping (auto) defaults — these are the
+# round-4 record; bench.py stamps git SHA + resolved binning per line and
+# updates BENCH_LAST_GOOD.json.
 step bench_headline python bench.py
 step bench_stress python bench.py --stress
 step bench_soft128 python bench.py --soft --size 128
 step bench_sil128 python bench.py --soft --silhouette --size 128
 step bench_soft256 python bench.py --soft --size 256
-
-# 3. SEG_H A/B: the same benches on the full-tile (16-row) decomposition.
-step bench_headline_seg16 env MESH_RENDERER_HARD_SEG_H=16 python bench.py
-step bench_stress_seg16 env MESH_RENDERER_HARD_SEG_H=16 \
-  python bench.py --stress
-step bench_soft128_seg16 env MESH_RENDERER_SOFT_SEG_H=16 \
-  python bench.py --soft --size 128
-step bench_sil128_seg16 env MESH_RENDERER_SOFT_SEG_H=16 \
-  python bench.py --soft --silhouette --size 128
-
-# 4. Chunk sweeps (gathered mode re-tune; strips change the tradeoff).
-step tune_hard python scripts/tune_chunks.py --chunks 8 16 32 64
-step tune_stress python scripts/tune_chunks.py --stress --chunks 8 16 32 64
-step tune_soft python scripts/tune_chunks.py --soft --chunks 8 16 32 64
-
-# 5. Large-mesh multi-pass under the gathered cap, incl. a cap sweep
-#    (VERDICT r3 #3: 100k tris = 9 passes at 12288; measure vs 24576/49152).
-step multipass_hard python scripts/multipass_overhead.py
-step multipass_soft python scripts/multipass_overhead.py --soft
-step multipass_hard_cap24k env MESH_RENDERER_MAX_GATHERED=24576 \
-  python scripts/multipass_overhead.py
-step multipass_soft_cap24k env MESH_RENDERER_MAX_GATHERED=24576 \
-  python scripts/multipass_overhead.py --soft
-
-# 6. Remaining bench configs.
 step bench_pose python bench.py --pose
 step bench_soft_sweep python bench.py --soft-sweep
+
+# 3. Large-mesh multi-pass under the auto default (hard+soft route to chunk
+# at 49,152 tris/pass -> 3 passes for 100k; VERDICT r3 #3 targets:
+# hard <= 34 ms, soft <= 78 ms).
+step multipass_hard python scripts/multipass_overhead.py
+step multipass_soft python scripts/multipass_overhead.py --soft
+
+# 4a. Chunk-path regression hunt: HEAD-at-chunk measured 693 headline vs
+# the r3 tree's 767 the same day — the breakdown attributes the gap
+# (suspects: two-section table prepass, per-strip count plumbing, bwd
+# re-binning).
+step profile_headline python scripts/profile_breakdown.py
+step profile_stress python scripts/profile_breakdown.py --batch 64 \
+  --size 512 --sphere-resolution 72
+
+# 4b. A/B: does the zero-prepass forward-plan backward rescue gathered on
+# the hard path? (r4 measured the 'winner' backward losing; this
+# quantifies the shipped BWD_PLAN=forward improvement for BENCH.md.)
+step bench_headline_gathered env MESH_RENDERER_BINNING=gathered \
+  python bench.py
+step bench_stress_gathered env MESH_RENDERER_BINNING=gathered \
+  python bench.py --stress
+# Soft full render ships gathered via auto; chunk comparison line:
+step bench_soft128_chunk env MESH_RENDERER_BINNING=chunk \
+  python bench.py --soft --size 128
+step bench_soft256_chunk env MESH_RENDERER_BINNING=chunk \
+  python bench.py --soft --size 256
+
+# 5. Flagship end-to-end workload (VERDICT r3 #6): multi-view cow fit.
+STEP_TIMEOUT=3900 step flagship_cow bash scripts/flagship_cow_fit.sh
+
 echo "=== DONE ($(date +%H:%M:%S)) ==="
 cat "$OUT/summary.txt"

@@ -343,10 +343,12 @@ def _gather_plan(bbox5, chunk, image_width, image_height, row_offset,
 def _legacy_plan(batch, t_pad, chunk, n_rows, n_cols):
     """A trivial plan routing every triangle to the legacy loop.
 
-    keep is None (no triangle is gathered), which lets _build_tables skip
-    the gather/masking entirely — the chunk-mode table is just one dead
-    sentinel chunk prepended to the untouched base."""
-    return (jnp.full((batch, chunk), t_pad, jnp.int32),
+    keep is None (no triangle is gathered) and the gathered section is
+    EMPTY (S = 0): _build_tables returns the untouched base, and the
+    kernels statically elide the whole gathered datapath (no A loop, no
+    segment refs, positional triangle ids) — chunk mode compiles to the
+    same program it had before gathered binning existed."""
+    return (jnp.zeros((batch, 0), jnp.int32),
             None,
             jnp.zeros((batch, n_rows, n_cols, 1), jnp.int32),
             jnp.zeros((batch, n_rows, n_cols, 1), jnp.int32))
@@ -397,17 +399,15 @@ def _build_tables(tri_data, attr_packed, plan, live_col=15, with_id=True):
         parts.append(attr_packed)
     base = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
     width = base.shape[-1]
+    if keep is None:
+        # Chunk mode (_legacy_plan): the gathered section is empty, so the
+        # table IS the untouched base — no gather, no liveness/id masking,
+        # no concat beyond the id/attr column assembly above.
+        return base, base
     # Sentinel row (index t_pad): dead (live 0), id -1.
     sentinel = jnp.zeros((batch, 1, width), jnp.float32)
     if with_id:
         sentinel = sentinel.at[:, 0, _ID_COL].set(-1.0)
-    if keep is None:
-        # Chunk mode (_legacy_plan): section A is one all-dead sentinel
-        # chunk and the legacy section is the UNTOUCHED base — no gather,
-        # no liveness/id masking, no ext concat.
-        dup = jnp.broadcast_to(sentinel,
-                               (batch, gather_idx.shape[1], width))
-        return jnp.concatenate([dup, base], axis=1), base
     ext = jnp.concatenate([base, sentinel], axis=1)
     dup = jnp.take_along_axis(ext, gather_idx[..., None], axis=1)
     # Kept triangles' legacy rows are dead (live 0). Their id column must
@@ -525,18 +525,23 @@ def _prepare_bwd_tables(base, ids, bc, chunk, image_width, image_height,
             bc = jnp.pad(bc, [(0, 0), (0, pad_h), (0, 0), (0, 0)])
         gather_idx, start_chunk, n_chunks, tile_fits = _winner_plan(
             ids, bc, chunk, budget, tile_h=SEG_H)
+        sentinel = jnp.zeros((batch, 1, width), jnp.float32)
+        sentinel = sentinel.at[:, 0, _ID_COL].set(-1.0)
+        ext = jnp.concatenate([base, sentinel], axis=1)
+        src = jnp.where(gather_idx >= 0, gather_idx, t_pad)
+        winner_rows = jnp.take_along_axis(ext, src[..., None], axis=1)
+        table = jnp.concatenate([winner_rows, base], axis=1)
+        s_rows = gather_idx.shape[1]
     else:
-        gather_idx = jnp.full((batch, chunk), -1, jnp.int32)
+        # Chunk mode: no winner section at all (s_rows = 0) — the kernels
+        # statically elide the A loop and run the legacy chunk-binned loop
+        # over the untouched base, exactly the pre-winner program.
+        src = jnp.zeros((batch, 0), jnp.int32)
         zeros = jnp.zeros((batch, n_strips, n_cols, 1), jnp.int32)
         start_chunk, n_chunks = zeros, zeros
         tile_fits = jnp.zeros((batch, n_strips, n_cols, 1), bool)
-
-    sentinel = jnp.zeros((batch, 1, width), jnp.float32)
-    sentinel = sentinel.at[:, 0, _ID_COL].set(-1.0)
-    ext = jnp.concatenate([base, sentinel], axis=1)
-    src = jnp.where(gather_idx >= 0, gather_idx, t_pad)
-    winner_rows = jnp.take_along_axis(ext, src[..., None], axis=1)
-    table = jnp.concatenate([winner_rows, base], axis=1)
+        table = base
+        s_rows = 0
 
     candidates, counts = _bin_chunks(base, chunk, image_width,
                                      image_height, row_offset, full_height,
@@ -548,7 +553,7 @@ def _prepare_bwd_tables(base, ids, bc, chunk, image_width, image_height,
     counts = jnp.where(tile_fits,
                        0, jnp.repeat(counts, N_SEG, axis=1))
     plan = (src, None, start_chunk, n_chunks)
-    return table, gather_idx.shape[1], plan, candidates, counts
+    return table, s_rows, plan, candidates, counts
 
 
 def _pack_triangle_data(clip_vertices, triangles, chunk):
@@ -672,13 +677,18 @@ def _bin_hits(bbox5, chunk, image_width, image_height, row_offset,
             (cmax_y[:, None, None, :] >= tmin_y[None, :, None, None]))
 
 
-def _rasterize_chunk_core(data, px, py, chunk):
+def _rasterize_chunk_core(data, px, py, chunk, tri_ids=None):
     """Shared per-chunk rasterization math (cpp:330-410 semantics).
 
     Args:
-      data: [chunk, >= 22] packed triangle rows (cols 0.._COLS-1 +
-        original id at _ID_COL; wider fused blocks pass through).
+      data: [chunk, >= 21] packed triangle rows (cols 0.._COLS-1; gathered
+        tables carry the original id at _ID_COL; wider fused blocks pass
+        through).
       px, py: [TILE_H, TILE_W] pixel-center NDC coordinates.
+      tri_ids: [chunk, 1, 1] i32 triangle ids, or None to read them from
+        the table's _ID_COL (gathered tables, where row order is not id
+        order). Chunk-mode callers pass positional ids (row_start + iota)
+        — no table column, no per-visit load/convert.
 
     Returns:
       (chunk_z [TH, TW], chunk_id [TH, TW] i32 — -1 where no triangle in
@@ -712,11 +722,12 @@ def _rasterize_chunk_core(data, px, py, chunk):
     z = num / jnp.where(den != 0.0, den, 1.0)
     valid = (inside & (col(15) > 0.0) & (z >= -1.0) & (z <= 1.0))
 
-    # Original triangle ids from the table (dead rows carry -1): winner
-    # selection is (min z, max id), so visit ORDER never matters — the
-    # gathered and legacy loops compose exactly, and ties reproduce the
-    # reference's later-triangle-overwrite rule on original ids.
-    tri_ids = data[:, _ID_COL].astype(jnp.int32).reshape(chunk, 1, 1)
+    # Winner selection is (min z, max id), so visit ORDER never matters —
+    # the gathered and legacy loops compose exactly, and ties reproduce the
+    # reference's later-triangle-overwrite rule on original ids (dead
+    # gathered rows carry id -1).
+    if tri_ids is None:
+        tri_ids = data[:, _ID_COL].astype(jnp.int32).reshape(chunk, 1, 1)
     z_masked = jnp.where(valid, z, 2.0)
     chunk_z = jnp.min(z_masked, axis=0)  # [TH, TW]
     at_min = valid & (z_masked == chunk_z[None])
@@ -749,11 +760,19 @@ def _merge_better(chunk_z, chunk_id, best_z, best_id):
 # ---------------------------------------------------------------------------
 
 
-def _kernel(row_off_ref, a_start_ref, a_count_ref, b_count_ref, b_cand_ref,
-            tri_ref, id_ref, b0_ref, b1_ref, b2_ref, z_ref, *, image_width,
-            image_height, full_height, s_rows):
+def _kernel(row_off_ref, *refs, image_width, image_height, full_height,
+            s_rows, gathered):
     # Grid: (batch, tile_row, tile_col). Batch is a kernel-level grid axis —
     # the whole mesh batch renders in ONE pallas_call (no vmap).
+    # `gathered` is STATIC: chunk mode (gathered=False) takes no segment
+    # refs, emits no A loop, and uses positional triangle ids — the
+    # compiled program matches the pre-gathered chunk kernel exactly.
+    if gathered:
+        (a_start_ref, a_count_ref, b_count_ref, b_cand_ref, tri_ref,
+         id_ref, b0_ref, b1_ref, b2_ref, z_ref) = refs
+    else:
+        (b_count_ref, b_cand_ref, tri_ref,
+         id_ref, b0_ref, b1_ref, b2_ref, z_ref) = refs
     ti = pl.program_id(1)
     tj = pl.program_id(2)
 
@@ -762,10 +781,13 @@ def _kernel(row_off_ref, a_start_ref, a_count_ref, b_count_ref, b_cand_ref,
                                      full_height)
 
         def visit(row_start, carry):
-            data = tri_ref[0, pl.ds(row_start, TRI_CHUNK), :]  # [C, 22]
+            data = tri_ref[0, pl.ds(row_start, TRI_CHUNK), :]  # [C, >=21]
+            tri_ids = None if gathered else (
+                row_start + jax.lax.broadcasted_iota(
+                    jnp.int32, (TRI_CHUNK, 1, 1), 0))
             best_z, best_id, best_we0, best_we1, best_we2 = carry
             chunk_z, chunk_id, w0, w1, w2 = _rasterize_chunk_core(
-                data, px, py, TRI_CHUNK)
+                data, px, py, TRI_CHUNK, tri_ids)
             better = _merge_better(chunk_z, chunk_id, best_z, best_id)
             best_z = jnp.where(better, chunk_z, best_z)
             best_id = jnp.where(better, chunk_id, best_id)
@@ -773,12 +795,6 @@ def _kernel(row_off_ref, a_start_ref, a_count_ref, b_count_ref, b_cand_ref,
             best_we1 = jnp.where(better, jnp.sum(w1, axis=0), best_we1)
             best_we2 = jnp.where(better, jnp.sum(w2, axis=0), best_we2)
             return best_z, best_id, best_we0, best_we1, best_we2
-
-        # Loop A: this strip's own gathered segment (contiguous chunks).
-        a_start = a_start_ref[0, h, tj, 0]
-
-        def a_body(i, carry):
-            return visit((a_start + i) * TRI_CHUNK, carry)
 
         # Loop B: legacy chunk-binned candidates over the fallback section.
         def b_body(i, carry):
@@ -789,8 +805,14 @@ def _kernel(row_off_ref, a_start_ref, a_count_ref, b_count_ref, b_cand_ref,
         init = (jnp.ones((SEG_H, TILE_W), jnp.float32),
                 jnp.full((SEG_H, TILE_W), -1, jnp.int32),
                 zeros, zeros, zeros)
-        carry = jax.lax.fori_loop(0, a_count_ref[0, h, tj, 0], a_body, init)
-        return jax.lax.fori_loop(0, b_count_ref[0, 0, tj, 0], b_body, carry)
+        if gathered:
+            # Loop A: this strip's own gathered segment (contiguous chunks).
+            a_start = a_start_ref[0, h, tj, 0]
+            init = jax.lax.fori_loop(
+                0, a_count_ref[0, h, tj, 0],
+                lambda i, carry: visit((a_start + i) * TRI_CHUNK, carry),
+                init)
+        return jax.lax.fori_loop(0, b_count_ref[0, 0, tj, 0], b_body, init)
 
     strips = [run_strip(h) for h in range(N_SEG)]
     best_z, best_id, best_we0, best_we1, best_we2 = (
@@ -941,7 +963,13 @@ def _prepare_tables(tri_data, attr_packed, chunk, image_width, image_height,
                             tile_h=SEG_H)
     else:
         plan = _legacy_plan(batch, t_pad, chunk, n_rows * N_SEG, n_cols)
-    table, base = _build_tables(tri_data, attr_packed, plan)
+    # Chunk mode's kernels use positional triangle ids (section-B rows ARE
+    # original rows), so the bare table skips the id column entirely — the
+    # table is the untouched packed data, exactly the pre-gathered program.
+    # The fused table keeps it: the _ATTR_COL layout offset is shared with
+    # gathered mode and the extra column rides the existing attr concat.
+    with_id = (binning == "gathered") or attr_packed is not None
+    table, base = _build_tables(tri_data, attr_packed, plan, with_id=with_id)
     s_rows = plan[0].shape[1]
     candidates, counts = _bin_chunks(table[:, s_rows:], chunk, image_width,
                                      image_height, row_offset, full_height)
@@ -954,11 +982,12 @@ def _forward_from_packed(table, s_rows, plan, candidates, counts,
     """Batched forward: two-section table -> (ids, bc, z) per image."""
     batch, total_rows, _ = table.shape
     n_tri_padded = total_rows - s_rows
+    gathered = s_rows > 0
     grid = (batch, pl.cdiv(image_height, TILE_H),
             pl.cdiv(image_width, TILE_W))
     kernel = functools.partial(
         _kernel, image_width=image_width, image_height=image_height,
-        full_height=full_height, s_rows=s_rows)
+        full_height=full_height, s_rows=s_rows, gathered=gathered)
 
     out_shape = [
         jax.ShapeDtypeStruct((batch, image_height, image_width), jnp.int32),
@@ -975,13 +1004,17 @@ def _forward_from_packed(table, s_rows, plan, candidates, counts,
         pl.cdiv(image_width, TILE_W), n_tri_padded // TRI_CHUNK)
     seg_spec = _seg_specs(pl.cdiv(image_width, TILE_W))
 
+    if gathered:
+        seg_in_specs = [seg_spec, seg_spec]  # segment starts + chunk counts
+        seg_args = (plan[2], plan[3])
+    else:
+        seg_in_specs, seg_args = [], ()
     ids, b0, b1, b2, z = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # row offset scalar
-            seg_spec,     # gathered per-strip segment starts
-            seg_spec,     # gathered per-strip segment chunk counts
+        ] + seg_in_specs + [
             count_spec,   # legacy candidate counts
             cand_spec,    # legacy candidate chunk ids
             tri_spec,
@@ -990,7 +1023,7 @@ def _forward_from_packed(table, s_rows, plan, candidates, counts,
         out_shape=out_shape,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(row_off, plan[2], plan[3], counts, candidates, table)
+    )(row_off, *seg_args, counts, candidates, table)
     bc = jnp.stack([b0, b1, b2], axis=-1)
     # Background contract: id 0, bc 0, z 1 (kernels' shared contract).
     return ids, bc, jnp.where(z > 1.0, 1.0, z)
@@ -1070,11 +1103,8 @@ def _bwd_chunk_core(data, mask, g0t, g1t, g2t, gb, bmat, chunk, n_pix,
                            + red[cc * chunk:(cc + 1) * chunk])
 
 
-def _bwd_kernel(row_off_ref, a_start_ref, a_count_ref, a_idmin_ref,
-                a_idmax_ref, b_count_ref, b_cand_ref, tri_ref, id_ref,
-                b0_ref, b1_ref, b2_ref, g0_ref, g1_ref, g2_ref, dcorner_ref,
-                *, image_width, image_height, full_height, s_rows,
-                precision):
+def _bwd_kernel(row_off_ref, *refs, image_width, image_height, full_height,
+                s_rows, gathered, precision):
     """Analytic backward as a per-tile reduction to a row-gradient table.
 
     The per-(triangle, corner, coord) sums accumulate per batch element
@@ -1084,7 +1114,16 @@ def _bwd_kernel(row_off_ref, a_start_ref, a_count_ref, a_idmin_ref,
     Both loops cull chunks by the tile's winner-id range: the gathered
     segment via the prepass id-range arrays, the legacy candidates via
     their position-derived range (section-B ids ARE row positions).
+    `gathered` is STATIC: chunk mode takes no segment/id-range refs, emits
+    no A loop, and uses positional triangle ids (the pre-gathered program).
     """
+    if gathered:
+        (a_start_ref, a_count_ref, a_idmin_ref, a_idmax_ref, b_count_ref,
+         b_cand_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref, g0_ref,
+         g1_ref, g2_ref, dcorner_ref) = refs
+    else:
+        (b_count_ref, b_cand_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
+         g0_ref, g1_ref, g2_ref, dcorner_ref) = refs
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     n_pix = SEG_H * TILE_W
@@ -1105,23 +1144,15 @@ def _bwd_kernel(row_off_ref, a_start_ref, a_count_ref, a_idmin_ref,
         def visit(row_start, ids=ids, active=active, g0=g0, g1=g1, g2=g2,
                   gb=gb, bmat=bmat):
             data = tri_ref[0, pl.ds(row_start, BWD_TRI_CHUNK), :]
-            tid = data[:, _ID_COL].astype(jnp.int32).reshape(
-                BWD_TRI_CHUNK, 1, 1)
+            if gathered:
+                tid = data[:, _ID_COL].astype(jnp.int32).reshape(
+                    BWD_TRI_CHUNK, 1, 1)
+            else:
+                tid = row_start + jax.lax.broadcasted_iota(
+                    jnp.int32, (BWD_TRI_CHUNK, 1, 1), 0)
             mask = ((ids[None] == tid) & active[None]).astype(jnp.float32)
             _bwd_chunk_core(data, mask, g0, g1, g2, gb, bmat, BWD_TRI_CHUNK,
                             n_pix, dcorner_ref, row_start, precision)
-            return 0
-
-        a_start = a_start_ref[0, h, tj, 0]
-
-        def a_body(i, _, a_start=a_start, visit=visit,
-                   tile_id_min=tile_id_min, tile_id_max=tile_id_max):
-            c = a_start + i
-            hit = ((a_idmin_ref[0, 0, c] <= tile_id_max) &
-                   (a_idmax_ref[0, 0, c] >= tile_id_min))
-            jax.lax.cond(hit,
-                         lambda _: visit(c * BWD_TRI_CHUNK),
-                         lambda _: 0, 0)
             return 0
 
         def b_body(i, _, visit=visit, tile_id_min=tile_id_min,
@@ -1134,7 +1165,20 @@ def _bwd_kernel(row_off_ref, a_start_ref, a_count_ref, a_idmin_ref,
                          lambda _: 0, 0)
             return 0
 
-        jax.lax.fori_loop(0, a_count_ref[0, h, tj, 0], a_body, 0)
+        if gathered:
+            a_start = a_start_ref[0, h, tj, 0]
+
+            def a_body(i, _, a_start=a_start, visit=visit,
+                       tile_id_min=tile_id_min, tile_id_max=tile_id_max):
+                c = a_start + i
+                hit = ((a_idmin_ref[0, 0, c] <= tile_id_max) &
+                       (a_idmax_ref[0, 0, c] >= tile_id_min))
+                jax.lax.cond(hit,
+                             lambda _: visit(c * BWD_TRI_CHUNK),
+                             lambda _: 0, 0)
+                return 0
+
+            jax.lax.fori_loop(0, a_count_ref[0, h, tj, 0], a_body, 0)
         jax.lax.fori_loop(0, b_count_ref[0, h, tj, 0], b_body, 0)
 
 
@@ -1159,7 +1203,10 @@ def _segment_sum_gathered(dtab, s_rows, gather_idx):
     dtab [B, S + T_pad, W]: gathered-section rows are summed per source
     triangle (dead slots carry exact zeros and route to the dropped
     t_pad segment) and added to the legacy section's direct rows.
+    Chunk mode (S = 0) is the identity — no fold, no copy.
     """
+    if s_rows == 0:
+        return dtab
     t_pad = dtab.shape[1] - s_rows
     d_a, d_b = dtab[:, :s_rows], dtab[:, s_rows:]
     seg = jax.vmap(
@@ -1176,12 +1223,13 @@ def _backward_pallas(table, plan, candidates, counts, triangles,
     assert BWD_TRI_CHUNK == TRI_CHUNK  # gathered segments are chunk-aligned
     batch, total_rows, width = table.shape
     s_rows = plan[0].shape[1]
+    gathered = s_rows > 0
     n_tri_padded = total_rows - s_rows
     grid = (batch, pl.cdiv(image_height, TILE_H),
             pl.cdiv(image_width, TILE_W))
     kernel = functools.partial(
         _bwd_kernel, image_width=image_width, image_height=image_height,
-        full_height=full_height, s_rows=s_rows,
+        full_height=full_height, s_rows=s_rows, gathered=gathered,
         precision=_resolve_precision(dot_precision))
     tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
                              lambda b, i, j: (b, i, j),
@@ -1193,22 +1241,30 @@ def _backward_pallas(table, plan, candidates, counts, triangles,
                             lambda b, i, j: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     row_off = jnp.asarray(row_offset, jnp.float32).reshape(1)
-    idmin, idmax = _gathered_id_ranges(plan[0], n_tri_padded, BWD_TRI_CHUNK)
-    idrange_spec = pl.BlockSpec((1, 1, idmin.shape[-1]),
-                                lambda b, i, j: (b, 0, 0),
-                                memory_space=pltpu.SMEM)
     _, cand_spec = _bin_specs(
         pl.cdiv(image_width, TILE_W), n_tri_padded // BWD_TRI_CHUNK)
     seg_spec = _seg_specs(pl.cdiv(image_width, TILE_W))
+    if gathered:
+        idmin, idmax = _gathered_id_ranges(plan[0], n_tri_padded,
+                                           BWD_TRI_CHUNK)
+        idrange_spec = pl.BlockSpec((1, 1, idmin.shape[-1]),
+                                    lambda b, i, j: (b, 0, 0),
+                                    memory_space=pltpu.SMEM)
+        seg_in_specs = [
+            seg_spec,        # winner per-strip segment starts
+            seg_spec,        # winner per-strip segment chunk counts
+            idrange_spec,    # gathered chunk id minima
+            idrange_spec,    # gathered chunk id maxima
+        ]
+        seg_args = (plan[2], plan[3], idmin, idmax)
+    else:
+        seg_in_specs, seg_args = [], ()
     dtab = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            seg_spec,        # winner per-strip segment starts
-            seg_spec,        # winner per-strip segment chunk counts
-            idrange_spec,    # gathered chunk id minima
-            idrange_spec,    # gathered chunk id maxima
+        ] + seg_in_specs + [
             seg_spec,        # legacy candidate counts (per strip)
             cand_spec,       # legacy candidate chunk ids (per tile)
             tri_spec,
@@ -1218,7 +1274,7 @@ def _backward_pallas(table, plan, candidates, counts, triangles,
                                         jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(row_off, plan[2], plan[3], idmin, idmax, counts, candidates, table,
+    )(row_off, *seg_args, counts, candidates, table,
       ids, bc[..., 0], bc[..., 1], bc[..., 2], df_dbc[..., 0],
       df_dbc[..., 1], df_dbc[..., 2])[0]
     dcorner = _segment_sum_gathered(dtab, s_rows, plan[0])
@@ -1448,10 +1504,17 @@ def _pack_corner_attributes(attributes, triangles, a_pad, n_tri_padded):
     return corner.reshape(batch, n_tri_padded, 3 * a_pad)
 
 
-def _kernel_fused(row_off_ref, a_start_ref, a_count_ref, b_count_ref,
-                  b_cand_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
-                  *rest, image_width, image_height, full_height, s_rows,
-                  a_pad, chunk, with_z, precision):
+def _kernel_fused(row_off_ref, *refs, image_width, image_height,
+                  full_height, s_rows, a_pad, chunk, with_z, gathered,
+                  precision):
+    if gathered:
+        a_start_ref, a_count_ref = refs[:2]
+        refs = refs[2:]
+    else:
+        a_start_ref = a_count_ref = None
+    (b_count_ref, b_cand_ref, tri_ref, id_ref, b0_ref, b1_ref,
+     b2_ref) = refs[:7]
+    rest = refs[7:]
     if with_z:
         z_ref, attr_ref = rest
     else:
@@ -1461,13 +1524,15 @@ def _kernel_fused(row_off_ref, a_start_ref, a_count_ref, b_count_ref,
                        z_ref if with_z else None, attr_ref,
                        image_width=image_width, image_height=image_height,
                        full_height=full_height, s_rows=s_rows,
-                       a_pad=a_pad, chunk=chunk, precision=precision)
+                       a_pad=a_pad, chunk=chunk, gathered=gathered,
+                       precision=precision)
 
 
 def _kernel_fused_body(row_off_ref, a_start_ref, a_count_ref, b_count_ref,
                        b_cand_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
                        z_ref, attr_ref, *, image_width, image_height,
-                       full_height, s_rows, a_pad, chunk, precision):
+                       full_height, s_rows, a_pad, chunk, gathered,
+                       precision):
     """Forward tile kernel with in-tile attribute interpolation.
 
     Same two binned loops as _kernel (gathered segment + legacy fallback,
@@ -1488,9 +1553,12 @@ def _kernel_fused_body(row_off_ref, a_start_ref, a_count_ref, b_count_ref,
 
         def visit(row_start, carry):
             blk = tri_ref[0, pl.ds(row_start, chunk), :]  # [C, ATTR + 3A]
+            tri_ids = None if gathered else (
+                row_start + jax.lax.broadcasted_iota(
+                    jnp.int32, (chunk, 1, 1), 0))
             best_z, best_id, best_we0, best_we1, best_we2, best_attr = carry
             chunk_z, chunk_id, w0, w1, w2 = _rasterize_chunk_core(
-                blk, px, py, chunk)
+                blk, px, py, chunk, tri_ids)
 
             # Three corner dots, not one grouped [A, 3C] x [3C, P] dot:
             # Mosaic cannot concatenate the lane-offset corner slices of
@@ -1519,11 +1587,6 @@ def _kernel_fused_body(row_off_ref, a_start_ref, a_count_ref, b_count_ref,
             return (best_z, best_id, best_we0, best_we1, best_we2,
                     best_attr)
 
-        a_start = a_start_ref[0, h, tj, 0]
-
-        def a_body(i, carry):
-            return visit((a_start + i) * chunk, carry)
-
         def b_body(i, carry):
             return visit(s_rows + b_cand_ref[0, 0, tj, i] * chunk, carry)
 
@@ -1532,10 +1595,14 @@ def _kernel_fused_body(row_off_ref, a_start_ref, a_count_ref, b_count_ref,
                 jnp.full((SEG_H, TILE_W), -1, jnp.int32),
                 zeros, zeros, zeros,
                 jnp.zeros((a_pad, n_pix), jnp.float32))
-        carry = jax.lax.fori_loop(0, a_count_ref[0, h, tj, 0], a_body, init)
+        if gathered:
+            a_start = a_start_ref[0, h, tj, 0]
+            init = jax.lax.fori_loop(
+                0, a_count_ref[0, h, tj, 0],
+                lambda i, carry: visit((a_start + i) * chunk, carry), init)
         (best_z, best_id, best_we0, best_we1, best_we2,
          best_attr) = jax.lax.fori_loop(0, b_count_ref[0, 0, tj, 0], b_body,
-                                        carry)
+                                        init)
 
         # Deferred normalization: bc from the winner edges (bit-identical,
         # see _rasterize_chunk_core), attrs rescaled by the same reciprocal
@@ -1577,12 +1644,13 @@ def _forward_fused(table, s_rows, plan, candidates, counts, a_pad,
     """
     batch, total_rows, width = table.shape
     n_tri_padded = total_rows - s_rows
+    gathered = s_rows > 0
     grid = (batch, pl.cdiv(image_height, TILE_H),
             pl.cdiv(image_width, TILE_W))
     kernel = functools.partial(
         _kernel_fused, image_width=image_width, image_height=image_height,
         full_height=full_height, s_rows=s_rows, a_pad=a_pad,
-        chunk=chunk, with_z=with_z,
+        chunk=chunk, with_z=with_z, gathered=gathered,
         precision=_resolve_precision(dot_precision))
 
     n_f32_images = 4 if with_z else 3
@@ -1607,13 +1675,17 @@ def _forward_fused(table, s_rows, plan, candidates, counts, a_pad,
         pl.cdiv(image_width, TILE_W), n_tri_padded // chunk)
     seg_spec = _seg_specs(pl.cdiv(image_width, TILE_W))
 
+    if gathered:
+        seg_in_specs = [seg_spec, seg_spec]  # segment starts + chunk counts
+        seg_args = (plan[2], plan[3])
+    else:
+        seg_in_specs, seg_args = [], ()
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            seg_spec,     # gathered per-strip segment starts
-            seg_spec,     # gathered per-strip segment chunk counts
+        ] + seg_in_specs + [
             count_spec,   # legacy candidate counts
             cand_spec,    # legacy candidate chunk ids
             tri_spec,
@@ -1622,7 +1694,7 @@ def _forward_fused(table, s_rows, plan, candidates, counts, a_pad,
         out_shape=out_shape,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(row_off, plan[2], plan[3], counts, candidates, table)
+    )(row_off, *seg_args, counts, candidates, table)
     if with_z:
         ids, b0, b1, b2, z, attrs = outs
     else:
@@ -1632,11 +1704,8 @@ def _forward_fused(table, s_rows, plan, candidates, counts, a_pad,
     return ids, bc, z, attrs
 
 
-def _bwd_kernel_fused(row_off_ref, a_start_ref, a_count_ref, a_idmin_ref,
-                      a_idmax_ref, b_count_ref, b_cand_ref, tri_ref,
-                      id_ref, b0_ref, b1_ref, b2_ref, g0_ref, g1_ref,
-                      g2_ref, gattr_ref, dtab_ref, *, image_width,
-                      image_height, full_height, s_rows, a_pad, chunk,
+def _bwd_kernel_fused(row_off_ref, *refs, image_width, image_height,
+                      full_height, s_rows, a_pad, chunk, gathered,
                       precision):
     """Fused backward: combined vertex+attribute row-gradient table.
 
@@ -1647,7 +1716,15 @@ def _bwd_kernel_fused(row_off_ref, a_start_ref, a_count_ref, a_idmin_ref,
     (mask * b_k) @ gattr^T. Vertex gradients land in output columns 0..8,
     attribute gradients from _OUT_ATTR_COL — one combined table so the
     VMEM lane padding (everything pads to 128 lanes) is paid once.
+    `gathered` is STATIC — see _bwd_kernel.
     """
+    if gathered:
+        (a_start_ref, a_count_ref, a_idmin_ref, a_idmax_ref, b_count_ref,
+         b_cand_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref, g0_ref,
+         g1_ref, g2_ref, gattr_ref, dtab_ref) = refs
+    else:
+        (b_count_ref, b_cand_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
+         g0_ref, g1_ref, g2_ref, gattr_ref, dtab_ref) = refs
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     n_pix = SEG_H * TILE_W
@@ -1674,7 +1751,11 @@ def _bwd_kernel_fused(row_off_ref, a_start_ref, a_count_ref, a_idmin_ref,
                   b0=b0, b1=b1, b2=b2, b0f=b0f, b1f=b1f, b2f=b2f,
                   bmat=bmat, gattrf=gattrf):
             blk = tri_ref[0, pl.ds(row_start, chunk), :]
-            tid = blk[:, _ID_COL].astype(jnp.int32).reshape(chunk, 1, 1)
+            if gathered:
+                tid = blk[:, _ID_COL].astype(jnp.int32).reshape(chunk, 1, 1)
+            else:
+                tid = row_start + jax.lax.broadcasted_iota(
+                    jnp.int32, (chunk, 1, 1), 0)
             mask = ((ids[None] == tid) & active[None]).astype(jnp.float32)
             maskf = mask.reshape(chunk, n_pix)
 
@@ -1714,16 +1795,6 @@ def _bwd_kernel_fused(row_off_ref, a_start_ref, a_count_ref, a_idmin_ref,
                                 + part_all[k * chunk:(k + 1) * chunk])
             return 0
 
-        a_start = a_start_ref[0, h, tj, 0]
-
-        def a_body(i, _, a_start=a_start, visit=visit,
-                   tile_id_min=tile_id_min, tile_id_max=tile_id_max):
-            c = a_start + i
-            hit = ((a_idmin_ref[0, 0, c] <= tile_id_max) &
-                   (a_idmax_ref[0, 0, c] >= tile_id_min))
-            jax.lax.cond(hit, lambda _: visit(c * chunk), lambda _: 0, 0)
-            return 0
-
         def b_body(i, _, visit=visit, tile_id_min=tile_id_min,
                    tile_id_max=tile_id_max):
             c = b_cand_ref[0, 0, tj, i]
@@ -1733,7 +1804,19 @@ def _bwd_kernel_fused(row_off_ref, a_start_ref, a_count_ref, a_idmin_ref,
                          lambda _: 0, 0)
             return 0
 
-        jax.lax.fori_loop(0, a_count_ref[0, h, tj, 0], a_body, 0)
+        if gathered:
+            a_start = a_start_ref[0, h, tj, 0]
+
+            def a_body(i, _, a_start=a_start, visit=visit,
+                       tile_id_min=tile_id_min, tile_id_max=tile_id_max):
+                c = a_start + i
+                hit = ((a_idmin_ref[0, 0, c] <= tile_id_max) &
+                       (a_idmax_ref[0, 0, c] >= tile_id_min))
+                jax.lax.cond(hit, lambda _: visit(c * chunk),
+                             lambda _: 0, 0)
+                return 0
+
+            jax.lax.fori_loop(0, a_count_ref[0, h, tj, 0], a_body, 0)
         jax.lax.fori_loop(0, b_count_ref[0, h, tj, 0], b_body, 0)
 
 
@@ -1744,6 +1827,7 @@ def _backward_fused(table, plan, candidates, counts, triangles,
     """-> (df/d clip_vertices [B, V, 4], df/d attributes [B, V, A])."""
     batch, total_rows, width = table.shape
     s_rows = plan[0].shape[1]
+    gathered = s_rows > 0
     n_tri_padded = total_rows - s_rows
     a_pad = (width - _ATTR_COL) // 3
     out_width = _OUT_ATTR_COL + 3 * a_pad
@@ -1753,7 +1837,7 @@ def _backward_fused(table, plan, candidates, counts, triangles,
     kernel = functools.partial(
         _bwd_kernel_fused, image_width=image_width,
         image_height=image_height, full_height=full_height,
-        s_rows=s_rows, a_pad=a_pad, chunk=chunk,
+        s_rows=s_rows, a_pad=a_pad, chunk=chunk, gathered=gathered,
         precision=_resolve_precision(dot_precision))
     tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
                              lambda b, i, j: (b, i, j),
@@ -1773,23 +1857,30 @@ def _backward_fused(table, plan, candidates, counts, triangles,
     gattr = jnp.moveaxis(df_dattr, -1, 1)
     gattr = jnp.pad(gattr,
                     [(0, 0), (0, a_pad - gattr.shape[1]), (0, 0), (0, 0)])
-    idmin, idmax = _gathered_id_ranges(plan[0], n_tri_padded, chunk)
-    idrange_spec = pl.BlockSpec((1, 1, idmin.shape[-1]),
-                                lambda b, i, j: (b, 0, 0),
-                                memory_space=pltpu.SMEM)
     _, cand_spec = _bin_specs(
         pl.cdiv(image_width, TILE_W), n_tri_padded // chunk)
     seg_spec = _seg_specs(pl.cdiv(image_width, TILE_W))
+    if gathered:
+        idmin, idmax = _gathered_id_ranges(plan[0], n_tri_padded, chunk)
+        idrange_spec = pl.BlockSpec((1, 1, idmin.shape[-1]),
+                                    lambda b, i, j: (b, 0, 0),
+                                    memory_space=pltpu.SMEM)
+        seg_in_specs = [
+            seg_spec,        # winner per-strip segment starts
+            seg_spec,        # winner per-strip segment chunk counts
+            idrange_spec,    # gathered chunk id minima
+            idrange_spec,    # gathered chunk id maxima
+        ]
+        seg_args = (plan[2], plan[3], idmin, idmax)
+    else:
+        seg_in_specs, seg_args = [], ()
 
     dtab = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            seg_spec,        # winner per-strip segment starts
-            seg_spec,        # winner per-strip segment chunk counts
-            idrange_spec,    # gathered chunk id minima
-            idrange_spec,    # gathered chunk id maxima
+        ] + seg_in_specs + [
             seg_spec,        # legacy candidate counts (per strip)
             cand_spec,       # legacy candidate chunk ids (per tile)
             tri_spec,
@@ -1801,7 +1892,7 @@ def _backward_fused(table, plan, candidates, counts, triangles,
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(row_off, plan[2], plan[3], idmin, idmax, counts, candidates, table,
+    )(row_off, *seg_args, counts, candidates, table,
       ids, bc[..., 0], bc[..., 1], bc[..., 2], df_dbc[..., 0],
       df_dbc[..., 1], df_dbc[..., 2], gattr)[0]
 

@@ -156,11 +156,14 @@ def _resolve_precision(name):
 _COLS = 21
 # Kernel-table layout: packed data in 0.._COLS-1, original triangle id at
 # _ID_COL (f32, exact for ids < 2^24; -1 on dead rows), and — fused path
-# only — corner attributes from _ATTR_COL (8-aligned lane offset for Mosaic
-# sub-lane loads). Backward output tables: vertex-gradient columns 0..8,
-# attribute gradients from _OUT_ATTR_COL.
+# only — corner attributes from _ATTR_COL. _ATTR_COL is env-tunable for
+# hardware alignment A/Bs: the three per-corner [chunk, a_pad] dot-operand
+# slices sit at lane offsets _ATTR_COL + k * a_pad, and Mosaic relayout
+# cost depends on their alignment (scripts/fused_fwd_microbench.py).
+# Backward output tables: vertex-gradient columns 0..8, attribute
+# gradients from _OUT_ATTR_COL.
 _ID_COL = _COLS
-_ATTR_COL = 24
+_ATTR_COL = int(os.environ.get("MESH_RENDERER_ATTR_COL", "24"))
 _OUT_ATTR_COL = 16
 
 
@@ -1704,6 +1707,146 @@ def _forward_fused(table, s_rows, plan, candidates, counts, a_pad,
     return ids, bc, z, attrs
 
 
+# --- EXPERIMENT (regression hunt): r3-shape split-table fused forward ---
+# Chunk-mode-only variant that feeds the kernel the packed data and attr
+# tables as TWO refs (r3 layout: attrs at lane 0 of their own table)
+# instead of one combined 72-col table. Enabled by
+# MESH_RENDERER_FUSED_SPLIT=1 to A/B the combined-table cost on hardware.
+_FUSED_SPLIT = os.environ.get("MESH_RENDERER_FUSED_SPLIT") == "1"
+
+
+def _kernel_fused_split(row_off_ref, count_ref, cand_ref, tri_ref,
+                        attr_in_ref, id_ref, b0_ref, b1_ref, b2_ref, *rest,
+                        image_width, image_height, full_height, a_pad,
+                        chunk, with_z, precision):
+    if with_z:
+        z_ref, attr_ref = rest
+    else:
+        z_ref = None
+        (attr_ref,) = rest
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    n_pix = TILE_H * TILE_W
+    px, py = _strip_pixel_coords(ti, 0, tj, row_off_ref[0], image_width,
+                                 full_height)
+    count = count_ref[0, 0, tj, 0]
+
+    def chunk_body(i, carry):
+        start = cand_ref[0, 0, tj, i] * chunk
+        data = tri_ref[0, pl.ds(start, chunk), :]  # [C, 21]
+        tri_ids = start + jax.lax.broadcasted_iota(
+            jnp.int32, (chunk, 1, 1), 0)
+        best_z, best_id, best_we0, best_we1, best_we2, best_attr = carry
+        chunk_z, chunk_id, w0, w1, w2 = _rasterize_chunk_core(
+            data, px, py, chunk, tri_ids)
+
+        ablk = attr_in_ref[0, pl.ds(start, chunk), :]
+        chunk_attr = jnp.zeros((a_pad, n_pix), jnp.float32)
+        for k, wk in enumerate((w0, w1, w2)):
+            ak = ablk[:, k * a_pad:(k + 1) * a_pad]  # [C, A]
+            chunk_attr = chunk_attr + jax.lax.dot_general(
+                ak, wk.reshape(chunk, n_pix),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)  # [A, P]
+
+        better = _merge_better(chunk_z, chunk_id, best_z, best_id)
+        betterf = (better.astype(jnp.float32).reshape(1, n_pix) > 0.0)
+        best_z = jnp.where(better, chunk_z, best_z)
+        best_id = jnp.where(better, chunk_id, best_id)
+        best_we0 = jnp.where(better, jnp.sum(w0, axis=0), best_we0)
+        best_we1 = jnp.where(better, jnp.sum(w1, axis=0), best_we1)
+        best_we2 = jnp.where(better, jnp.sum(w2, axis=0), best_we2)
+        best_attr = jnp.where(betterf, chunk_attr, best_attr)
+        return (best_z, best_id, best_we0, best_we1, best_we2, best_attr)
+
+    zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    init = (jnp.ones((TILE_H, TILE_W), jnp.float32),
+            jnp.full((TILE_H, TILE_W), -1, jnp.int32),
+            zeros, zeros, zeros,
+            jnp.zeros((a_pad, n_pix), jnp.float32))
+    (best_z, best_id, best_we0, best_we1, best_we2,
+     best_attr) = jax.lax.fori_loop(0, count, chunk_body, init)
+
+    b0, b1, b2, inv_sum = _normalize_winner_edges(best_we0, best_we1,
+                                                  best_we2)
+    id_ref[0] = jnp.maximum(best_id, 0)
+    b0_ref[0] = b0
+    b1_ref[0] = b1
+    b2_ref[0] = b2
+    if z_ref is not None:
+        z_ref[0] = jnp.where(best_z > 1.0, 1.0, best_z)
+    attr_ref[0] = (best_attr * inv_sum.reshape(1, n_pix)).reshape(
+        a_pad, TILE_H, TILE_W)
+
+
+def _forward_fused_split(tri_data, attr_packed, row_offset, image_width,
+                         image_height, full_height, interpret, chunk,
+                         dot_precision, with_z=False):
+    if SEG_H != TILE_H:
+        raise ValueError("split experiment requires SEG_H == TILE_H")
+    batch, n_tri_padded, _ = tri_data.shape
+    a3 = attr_packed.shape[-1]
+    a_pad = a3 // 3
+    grid = (batch, pl.cdiv(image_height, TILE_H),
+            pl.cdiv(image_width, TILE_W))
+    kernel = functools.partial(
+        _kernel_fused_split, image_width=image_width,
+        image_height=image_height, full_height=full_height, a_pad=a_pad,
+        chunk=chunk, with_z=with_z,
+        precision=_resolve_precision(dot_precision))
+
+    n_f32_images = 4 if with_z else 3
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, image_height, image_width), jnp.int32),
+    ] + [jax.ShapeDtypeStruct((batch, image_height, image_width),
+                              jnp.float32)] * n_f32_images + [
+        jax.ShapeDtypeStruct((batch, a_pad, image_height, image_width),
+                             jnp.float32),
+    ]
+    tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
+                             lambda b, i, j: (b, i, j),
+                             memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec((1, n_tri_padded, _COLS),
+                            lambda b, i, j: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    attr_in_spec = pl.BlockSpec((1, n_tri_padded, a3),
+                                lambda b, i, j: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    attr_out_spec = pl.BlockSpec((1, a_pad, TILE_H, TILE_W),
+                                 lambda b, i, j: (b, 0, i, j),
+                                 memory_space=pltpu.VMEM)
+    row_off = jnp.asarray(row_offset, jnp.float32).reshape(1)
+    candidates, counts = _bin_chunks(tri_data, chunk, image_width,
+                                     image_height, row_offset, full_height)
+    count_spec, cand_spec = _bin_specs(
+        pl.cdiv(image_width, TILE_W), n_tri_padded // chunk)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            count_spec,
+            cand_spec,
+            tri_spec,
+            attr_in_spec,
+        ],
+        out_specs=[tile_spec] * (1 + n_f32_images) + [attr_out_spec],
+        out_shape=out_shape,
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(row_off, counts, candidates, tri_data, attr_packed)
+    if with_z:
+        ids, b0, b1, b2, z, attrs = outs
+    else:
+        ids, b0, b1, b2, attrs = outs
+        z = None
+    bc = jnp.stack([b0, b1, b2], axis=-1)
+    return ids, bc, z, attrs
+# --- END EXPERIMENT ---
+
+
 def _bwd_kernel_fused(row_off_ref, *refs, image_width, image_height,
                       full_height, s_rows, a_pad, chunk, gathered,
                       precision):
@@ -1929,6 +2072,23 @@ def _interp_fwd(clip_vertices, attributes, triangles, row_offset,
     a_pad = _pad_attr_count(a)
     attr_packed = _pack_corner_attributes(attributes, triangles, a_pad,
                                           tri_data.shape[1])
+    if _FUSED_SPLIT and binning == "chunk":
+        # Experiment path: split-table forward; bwd residuals unchanged.
+        ids, bc, z, attrs = _forward_fused_split(
+            tri_data, attr_packed, row_offset, image_width, image_height,
+            full_height, interpret, chunk, dot_precision, with_z=with_z)
+        attr_images = jnp.moveaxis(attrs, 1, -1)[..., :a]
+        out = (ids, bc, attr_images) + ((z,) if with_z else ())
+        table, base, s_rows, plan, candidates, counts = _prepare_tables(
+            tri_data, attr_packed, chunk, image_width, image_height,
+            row_offset, full_height, binning)
+        if BWD_PLAN == "forward":
+            saved = jax.lax.stop_gradient((table, plan, candidates, counts))
+        else:
+            saved = jax.lax.stop_gradient(base)
+        residuals = (saved, triangles, clip_vertices.shape[1], a, ids, bc,
+                     row_offset)
+        return out, residuals
     table, base, s_rows, plan, candidates, counts = _prepare_tables(
         tri_data, attr_packed, chunk, image_width, image_height,
         row_offset, full_height, binning)

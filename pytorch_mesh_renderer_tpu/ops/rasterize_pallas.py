@@ -154,16 +154,18 @@ def _resolve_precision(name):
 
 # Packed triangle-data columns (see _pack_triangle_data).
 _COLS = 21
-# Kernel-table layout: packed data in 0.._COLS-1, original triangle id at
-# _ID_COL (f32, exact for ids < 2^24; -1 on dead rows), and — fused path
-# only — corner attributes from _ATTR_COL. _ATTR_COL is env-tunable for
-# hardware alignment A/Bs: the three per-corner [chunk, a_pad] dot-operand
-# slices sit at lane offsets _ATTR_COL + k * a_pad, and Mosaic relayout
-# cost depends on their alignment (scripts/fused_fwd_microbench.py).
-# Backward output tables: vertex-gradient columns 0..8, attribute
+# GATHERED kernel-table layout: packed data in 0.._COLS-1, original
+# triangle id at _ID_COL (f32, exact for ids < 2^24; -1 on dead rows),
+# and — fused path only — corner attributes from _ATTR_COL (8-aligned
+# lane offset). Chunk mode feeds the kernels the packed data and the
+# corner attributes as TWO refs instead (attrs at lane 0 of their own
+# table): the combined table measured ~15% slower per stress fwd kernel
+# pass on v5e and its concat costs HBM roundtrips (BENCH.md round 4;
+# slice lane ALIGNMENT was ruled out by the MESH_RENDERER_ATTR_COL=32
+# A/B). Backward output tables: vertex-gradient columns 0..8, attribute
 # gradients from _OUT_ATTR_COL.
 _ID_COL = _COLS
-_ATTR_COL = int(os.environ.get("MESH_RENDERER_ATTR_COL", "24"))
+_ATTR_COL = 24
 _OUT_ATTR_COL = 16
 
 
@@ -635,6 +637,11 @@ def _bin_chunks(tri_data, chunk, image_width, image_height, row_offset,
                     image_width, image_height, row_offset, full_height,
                     top_down=top_down, tile_h=tile_h, tile_w=tile_w)
     counts = jnp.sum(hit, axis=-1, dtype=jnp.int32)[..., None]
+    # Candidate compaction stays an argsort: the "obvious" cheaper
+    # cumsum-position + parallel scatter compaction measured 70.8 ms vs
+    # the argsort's 12.4 ms on the 512^2 stress hit matrix ([8192, 1296],
+    # v5e, scripts/prepass_microbench.py, 2026-08-19) — XLA lowers the
+    # row-batched scatter far worse than its bitonic sort here.
     candidates = jnp.argsort(~hit, axis=-1, stable=True).astype(jnp.int32)
     return candidates, counts
 
@@ -1513,18 +1520,22 @@ def _kernel_fused(row_off_ref, *refs, image_width, image_height,
     if gathered:
         a_start_ref, a_count_ref = refs[:2]
         refs = refs[2:]
+        attr_in_ref = None  # corner attrs ride the combined table
+        (b_count_ref, b_cand_ref, tri_ref) = refs[:3]
+        refs = refs[3:]
     else:
         a_start_ref = a_count_ref = None
-    (b_count_ref, b_cand_ref, tri_ref, id_ref, b0_ref, b1_ref,
-     b2_ref) = refs[:7]
-    rest = refs[7:]
+        (b_count_ref, b_cand_ref, tri_ref, attr_in_ref) = refs[:4]
+        refs = refs[4:]
+    (id_ref, b0_ref, b1_ref, b2_ref) = refs[:4]
+    rest = refs[4:]
     if with_z:
         z_ref, attr_ref = rest
     else:
         (attr_ref,) = rest
     _kernel_fused_body(row_off_ref, a_start_ref, a_count_ref, b_count_ref,
-                       b_cand_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
-                       z_ref if with_z else None, attr_ref,
+                       b_cand_ref, tri_ref, attr_in_ref, id_ref, b0_ref,
+                       b1_ref, b2_ref, z_ref if with_z else None, attr_ref,
                        image_width=image_width, image_height=image_height,
                        full_height=full_height, s_rows=s_rows,
                        a_pad=a_pad, chunk=chunk, gathered=gathered,
@@ -1532,19 +1543,21 @@ def _kernel_fused(row_off_ref, *refs, image_width, image_height,
 
 
 def _kernel_fused_body(row_off_ref, a_start_ref, a_count_ref, b_count_ref,
-                       b_cand_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
-                       z_ref, attr_ref, *, image_width, image_height,
-                       full_height, s_rows, a_pad, chunk, gathered,
-                       precision):
+                       b_cand_ref, tri_ref, attr_in_ref, id_ref, b0_ref,
+                       b1_ref, b2_ref, z_ref, attr_ref, *, image_width,
+                       image_height, full_height, s_rows, a_pad, chunk,
+                       gathered, precision):
     """Forward tile kernel with in-tile attribute interpolation.
 
-    Same two binned loops as _kernel (gathered segment + legacy fallback,
-    sharing one combined data+attr table) plus a flat [a_pad, P] attribute
-    carry: each chunk's winning triangles contribute
-    sum_k (winner * b_k) @ corner_attrs_k via MXU matmuls, and the carry
-    keeps the value from whichever chunk currently wins the z-test. The
-    z-buffer lives only in the carry (no HBM output — the fused contract
-    has no z consumer).
+    Same two binned loops as _kernel (gathered segment + legacy fallback)
+    plus a flat [a_pad, P] attribute carry: each chunk's winning triangles
+    contribute sum_k (winner * b_k) @ corner_attrs_k via MXU matmuls, and
+    the carry keeps the value from whichever chunk currently wins the
+    z-test. The z-buffer lives only in the carry (no HBM output — the
+    fused contract has no z consumer). Chunk mode reads corner attributes
+    from their own ref (attr_in_ref, lane offsets k * a_pad); gathered
+    mode reads them from the combined table at _ATTR_COL (attr_in_ref is
+    None) — see the _ATTR_COL layout comment for the measured tradeoff.
     """
     ti = pl.program_id(1)
     tj = pl.program_id(2)
@@ -1555,7 +1568,12 @@ def _kernel_fused_body(row_off_ref, a_start_ref, a_count_ref, b_count_ref,
                                      full_height)
 
         def visit(row_start, carry):
-            blk = tri_ref[0, pl.ds(row_start, chunk), :]  # [C, ATTR + 3A]
+            blk = tri_ref[0, pl.ds(row_start, chunk), :]
+            if attr_in_ref is None:
+                ablk, a_off = blk, _ATTR_COL  # gathered: combined table
+            else:
+                ablk = attr_in_ref[0, pl.ds(row_start, chunk), :]
+                a_off = 0
             tri_ids = None if gathered else (
                 row_start + jax.lax.broadcasted_iota(
                     jnp.int32, (chunk, 1, 1), 0))
@@ -1570,8 +1588,8 @@ def _kernel_fused_body(row_off_ref, a_start_ref, a_count_ref, b_count_ref,
             # the extra dot launches is inside run-to-run noise.
             chunk_attr = jnp.zeros((a_pad, n_pix), jnp.float32)
             for k, wk in enumerate((w0, w1, w2)):
-                ak = blk[:, _ATTR_COL + k * a_pad:
-                         _ATTR_COL + (k + 1) * a_pad]  # [C, A]
+                ak = ablk[:, a_off + k * a_pad:
+                          a_off + (k + 1) * a_pad]  # [C, A]
                 chunk_attr = chunk_attr + jax.lax.dot_general(
                     ak, wk.reshape(chunk, n_pix),
                     (((0,), (0,)), ((), ())),
@@ -1641,13 +1659,20 @@ def _forward_fused(table, s_rows, plan, candidates, counts, a_pad,
                    interpret, chunk, dot_precision, with_z=False):
     """Fused forward: -> (ids, bc, z-or-None, attrs [B, a_pad, H, W]).
 
-    The z image is materialized to HBM only when `with_z` (the multi-pass
-    depth merge is its sole consumer; single-pass callers skip the extra
-    B*H*W*4-byte write).
+    `table` is the combined data+id+attr table in gathered mode, or the
+    (packed data, packed corner attrs) pair in chunk mode (split refs —
+    no concat, and the chunk kernels measured faster on split tables;
+    see the _ATTR_COL comment). The z image is materialized to HBM only
+    when `with_z` (the multi-pass depth merge is its sole consumer;
+    single-pass callers skip the extra B*H*W*4-byte write).
     """
-    batch, total_rows, width = table.shape
-    n_tri_padded = total_rows - s_rows
     gathered = s_rows > 0
+    if gathered:
+        data_table, attr_table = table, None
+    else:
+        data_table, attr_table = table
+    batch, total_rows, width = data_table.shape
+    n_tri_padded = total_rows - s_rows
     grid = (batch, pl.cdiv(image_height, TILE_H),
             pl.cdiv(image_width, TILE_W))
     kernel = functools.partial(
@@ -1681,8 +1706,13 @@ def _forward_fused(table, s_rows, plan, candidates, counts, a_pad,
     if gathered:
         seg_in_specs = [seg_spec, seg_spec]  # segment starts + chunk counts
         seg_args = (plan[2], plan[3])
+        attr_in_specs, attr_args = [], ()
     else:
         seg_in_specs, seg_args = [], ()
+        attr_in_specs = [pl.BlockSpec((1, total_rows, attr_table.shape[-1]),
+                                      lambda b, i, j: (b, 0, 0),
+                                      memory_space=pltpu.VMEM)]
+        attr_args = (attr_table,)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1692,12 +1722,12 @@ def _forward_fused(table, s_rows, plan, candidates, counts, a_pad,
             count_spec,   # legacy candidate counts
             cand_spec,    # legacy candidate chunk ids
             tri_spec,
-        ],
+        ] + attr_in_specs,
         out_specs=[tile_spec] * (1 + n_f32_images) + [attr_out_spec],
         out_shape=out_shape,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(row_off, *seg_args, counts, candidates, table)
+    )(row_off, *seg_args, counts, candidates, data_table, *attr_args)
     if with_z:
         ids, b0, b1, b2, z, attrs = outs
     else:
@@ -1705,146 +1735,6 @@ def _forward_fused(table, s_rows, plan, candidates, counts, a_pad,
         z = None
     bc = jnp.stack([b0, b1, b2], axis=-1)
     return ids, bc, z, attrs
-
-
-# --- EXPERIMENT (regression hunt): r3-shape split-table fused forward ---
-# Chunk-mode-only variant that feeds the kernel the packed data and attr
-# tables as TWO refs (r3 layout: attrs at lane 0 of their own table)
-# instead of one combined 72-col table. Enabled by
-# MESH_RENDERER_FUSED_SPLIT=1 to A/B the combined-table cost on hardware.
-_FUSED_SPLIT = os.environ.get("MESH_RENDERER_FUSED_SPLIT") == "1"
-
-
-def _kernel_fused_split(row_off_ref, count_ref, cand_ref, tri_ref,
-                        attr_in_ref, id_ref, b0_ref, b1_ref, b2_ref, *rest,
-                        image_width, image_height, full_height, a_pad,
-                        chunk, with_z, precision):
-    if with_z:
-        z_ref, attr_ref = rest
-    else:
-        z_ref = None
-        (attr_ref,) = rest
-    ti = pl.program_id(1)
-    tj = pl.program_id(2)
-    n_pix = TILE_H * TILE_W
-    px, py = _strip_pixel_coords(ti, 0, tj, row_off_ref[0], image_width,
-                                 full_height)
-    count = count_ref[0, 0, tj, 0]
-
-    def chunk_body(i, carry):
-        start = cand_ref[0, 0, tj, i] * chunk
-        data = tri_ref[0, pl.ds(start, chunk), :]  # [C, 21]
-        tri_ids = start + jax.lax.broadcasted_iota(
-            jnp.int32, (chunk, 1, 1), 0)
-        best_z, best_id, best_we0, best_we1, best_we2, best_attr = carry
-        chunk_z, chunk_id, w0, w1, w2 = _rasterize_chunk_core(
-            data, px, py, chunk, tri_ids)
-
-        ablk = attr_in_ref[0, pl.ds(start, chunk), :]
-        chunk_attr = jnp.zeros((a_pad, n_pix), jnp.float32)
-        for k, wk in enumerate((w0, w1, w2)):
-            ak = ablk[:, k * a_pad:(k + 1) * a_pad]  # [C, A]
-            chunk_attr = chunk_attr + jax.lax.dot_general(
-                ak, wk.reshape(chunk, n_pix),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision)  # [A, P]
-
-        better = _merge_better(chunk_z, chunk_id, best_z, best_id)
-        betterf = (better.astype(jnp.float32).reshape(1, n_pix) > 0.0)
-        best_z = jnp.where(better, chunk_z, best_z)
-        best_id = jnp.where(better, chunk_id, best_id)
-        best_we0 = jnp.where(better, jnp.sum(w0, axis=0), best_we0)
-        best_we1 = jnp.where(better, jnp.sum(w1, axis=0), best_we1)
-        best_we2 = jnp.where(better, jnp.sum(w2, axis=0), best_we2)
-        best_attr = jnp.where(betterf, chunk_attr, best_attr)
-        return (best_z, best_id, best_we0, best_we1, best_we2, best_attr)
-
-    zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    init = (jnp.ones((TILE_H, TILE_W), jnp.float32),
-            jnp.full((TILE_H, TILE_W), -1, jnp.int32),
-            zeros, zeros, zeros,
-            jnp.zeros((a_pad, n_pix), jnp.float32))
-    (best_z, best_id, best_we0, best_we1, best_we2,
-     best_attr) = jax.lax.fori_loop(0, count, chunk_body, init)
-
-    b0, b1, b2, inv_sum = _normalize_winner_edges(best_we0, best_we1,
-                                                  best_we2)
-    id_ref[0] = jnp.maximum(best_id, 0)
-    b0_ref[0] = b0
-    b1_ref[0] = b1
-    b2_ref[0] = b2
-    if z_ref is not None:
-        z_ref[0] = jnp.where(best_z > 1.0, 1.0, best_z)
-    attr_ref[0] = (best_attr * inv_sum.reshape(1, n_pix)).reshape(
-        a_pad, TILE_H, TILE_W)
-
-
-def _forward_fused_split(tri_data, attr_packed, row_offset, image_width,
-                         image_height, full_height, interpret, chunk,
-                         dot_precision, with_z=False):
-    if SEG_H != TILE_H:
-        raise ValueError("split experiment requires SEG_H == TILE_H")
-    batch, n_tri_padded, _ = tri_data.shape
-    a3 = attr_packed.shape[-1]
-    a_pad = a3 // 3
-    grid = (batch, pl.cdiv(image_height, TILE_H),
-            pl.cdiv(image_width, TILE_W))
-    kernel = functools.partial(
-        _kernel_fused_split, image_width=image_width,
-        image_height=image_height, full_height=full_height, a_pad=a_pad,
-        chunk=chunk, with_z=with_z,
-        precision=_resolve_precision(dot_precision))
-
-    n_f32_images = 4 if with_z else 3
-    out_shape = [
-        jax.ShapeDtypeStruct((batch, image_height, image_width), jnp.int32),
-    ] + [jax.ShapeDtypeStruct((batch, image_height, image_width),
-                              jnp.float32)] * n_f32_images + [
-        jax.ShapeDtypeStruct((batch, a_pad, image_height, image_width),
-                             jnp.float32),
-    ]
-    tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
-                             lambda b, i, j: (b, i, j),
-                             memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec((1, n_tri_padded, _COLS),
-                            lambda b, i, j: (b, 0, 0),
-                            memory_space=pltpu.VMEM)
-    attr_in_spec = pl.BlockSpec((1, n_tri_padded, a3),
-                                lambda b, i, j: (b, 0, 0),
-                                memory_space=pltpu.VMEM)
-    attr_out_spec = pl.BlockSpec((1, a_pad, TILE_H, TILE_W),
-                                 lambda b, i, j: (b, 0, i, j),
-                                 memory_space=pltpu.VMEM)
-    row_off = jnp.asarray(row_offset, jnp.float32).reshape(1)
-    candidates, counts = _bin_chunks(tri_data, chunk, image_width,
-                                     image_height, row_offset, full_height)
-    count_spec, cand_spec = _bin_specs(
-        pl.cdiv(image_width, TILE_W), n_tri_padded // chunk)
-
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            count_spec,
-            cand_spec,
-            tri_spec,
-            attr_in_spec,
-        ],
-        out_specs=[tile_spec] * (1 + n_f32_images) + [attr_out_spec],
-        out_shape=out_shape,
-        compiler_params=_COMPILER_PARAMS,
-        interpret=interpret,
-    )(row_off, counts, candidates, tri_data, attr_packed)
-    if with_z:
-        ids, b0, b1, b2, z, attrs = outs
-    else:
-        ids, b0, b1, b2, attrs = outs
-        z = None
-    bc = jnp.stack([b0, b1, b2], axis=-1)
-    return ids, bc, z, attrs
-# --- END EXPERIMENT ---
 
 
 def _bwd_kernel_fused(row_off_ref, *refs, image_width, image_height,
@@ -1865,9 +1755,11 @@ def _bwd_kernel_fused(row_off_ref, *refs, image_width, image_height,
         (a_start_ref, a_count_ref, a_idmin_ref, a_idmax_ref, b_count_ref,
          b_cand_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref, g0_ref,
          g1_ref, g2_ref, gattr_ref, dtab_ref) = refs
+        attr_in_ref = None  # corner attrs ride the combined table
     else:
-        (b_count_ref, b_cand_ref, tri_ref, id_ref, b0_ref, b1_ref, b2_ref,
-         g0_ref, g1_ref, g2_ref, gattr_ref, dtab_ref) = refs
+        (b_count_ref, b_cand_ref, tri_ref, attr_in_ref, id_ref, b0_ref,
+         b1_ref, b2_ref, g0_ref, g1_ref, g2_ref, gattr_ref,
+         dtab_ref) = refs
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     n_pix = SEG_H * TILE_W
@@ -1894,6 +1786,11 @@ def _bwd_kernel_fused(row_off_ref, *refs, image_width, image_height,
                   b0=b0, b1=b1, b2=b2, b0f=b0f, b1f=b1f, b2f=b2f,
                   bmat=bmat, gattrf=gattrf):
             blk = tri_ref[0, pl.ds(row_start, chunk), :]
+            if attr_in_ref is None:
+                ablk, a_off = blk, _ATTR_COL  # gathered: combined table
+            else:
+                ablk = attr_in_ref[0, pl.ds(row_start, chunk), :]
+                a_off = 0
             if gathered:
                 tid = blk[:, _ID_COL].astype(jnp.int32).reshape(chunk, 1, 1)
             else:
@@ -1908,8 +1805,8 @@ def _bwd_kernel_fused(row_off_ref, *refs, image_width, image_height,
             # corner slices of the block into one [3C, A] operand.)
             dbc = []
             for k in range(3):
-                ak = blk[:, _ATTR_COL + k * a_pad:
-                         _ATTR_COL + (k + 1) * a_pad]  # [C, A]
+                ak = ablk[:, a_off + k * a_pad:
+                          a_off + (k + 1) * a_pad]  # [C, A]
                 proj = jax.lax.dot_general(
                     ak, gattrf, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -1967,12 +1864,21 @@ def _backward_fused(table, plan, candidates, counts, triangles,
                     vertex_count, attribute_count, ids, bc, df_dbc,
                     df_dattr, row_offset, image_width, image_height,
                     full_height, interpret, dot_precision):
-    """-> (df/d clip_vertices [B, V, 4], df/d attributes [B, V, A])."""
-    batch, total_rows, width = table.shape
+    """-> (df/d clip_vertices [B, V, 4], df/d attributes [B, V, A]).
+
+    `table` follows the _forward_fused contract: combined data+id+attr
+    table (gathered), or a (packed data, packed corner attrs) pair
+    (chunk mode — split refs, no concat)."""
     s_rows = plan[0].shape[1]
     gathered = s_rows > 0
+    if gathered:
+        data_table, attr_table = table, None
+        a_pad = (table.shape[-1] - _ATTR_COL) // 3
+    else:
+        data_table, attr_table = table
+        a_pad = attr_table.shape[-1] // 3
+    batch, total_rows, width = data_table.shape
     n_tri_padded = total_rows - s_rows
-    a_pad = (width - _ATTR_COL) // 3
     out_width = _OUT_ATTR_COL + 3 * a_pad
     grid = (batch, pl.cdiv(image_height, TILE_H),
             pl.cdiv(image_width, TILE_W))
@@ -2015,8 +1921,13 @@ def _backward_fused(table, plan, candidates, counts, triangles,
             idrange_spec,    # gathered chunk id maxima
         ]
         seg_args = (plan[2], plan[3], idmin, idmax)
+        attr_in_specs, attr_args = [], ()
     else:
         seg_in_specs, seg_args = [], ()
+        attr_in_specs = [pl.BlockSpec((1, total_rows, attr_table.shape[-1]),
+                                      lambda b, i, j: (b, 0, 0),
+                                      memory_space=pltpu.VMEM)]
+        attr_args = (attr_table,)
 
     dtab = pl.pallas_call(
         kernel,
@@ -2027,7 +1938,7 @@ def _backward_fused(table, plan, candidates, counts, triangles,
             seg_spec,        # legacy candidate counts (per strip)
             cand_spec,       # legacy candidate chunk ids (per tile)
             tri_spec,
-        ] + [tile_spec] * 7 + [gattr_spec],
+        ] + attr_in_specs + [tile_spec] * 7 + [gattr_spec],
         out_specs=[dtab_spec],
         out_shape=[
             jax.ShapeDtypeStruct((batch, total_rows, out_width),
@@ -2035,7 +1946,7 @@ def _backward_fused(table, plan, candidates, counts, triangles,
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(row_off, *seg_args, counts, candidates, table,
+    )(row_off, *seg_args, counts, candidates, data_table, *attr_args,
       ids, bc[..., 0], bc[..., 1], bc[..., 2], df_dbc[..., 0],
       df_dbc[..., 1], df_dbc[..., 2], gattr)[0]
 
@@ -2072,26 +1983,21 @@ def _interp_fwd(clip_vertices, attributes, triangles, row_offset,
     a_pad = _pad_attr_count(a)
     attr_packed = _pack_corner_attributes(attributes, triangles, a_pad,
                                           tri_data.shape[1])
-    if _FUSED_SPLIT and binning == "chunk":
-        # Experiment path: split-table forward; bwd residuals unchanged.
-        ids, bc, z, attrs = _forward_fused_split(
-            tri_data, attr_packed, row_offset, image_width, image_height,
-            full_height, interpret, chunk, dot_precision, with_z=with_z)
-        attr_images = jnp.moveaxis(attrs, 1, -1)[..., :a]
-        out = (ids, bc, attr_images) + ((z,) if with_z else ())
+    if binning == "chunk":
+        # Split tables (no combined concat, no id column — positional
+        # ids); the prepass is just the chunk binning.
+        batch, t_pad, _ = tri_data.shape
+        plan = _legacy_plan(batch, t_pad, chunk,
+                            pl.cdiv(image_height, TILE_H) * N_SEG,
+                            pl.cdiv(image_width, TILE_W))
+        candidates, counts = _bin_chunks(tri_data, chunk, image_width,
+                                         image_height, row_offset,
+                                         full_height)
+        table, base, s_rows = (tri_data, attr_packed), None, 0
+    else:
         table, base, s_rows, plan, candidates, counts = _prepare_tables(
             tri_data, attr_packed, chunk, image_width, image_height,
             row_offset, full_height, binning)
-        if BWD_PLAN == "forward":
-            saved = jax.lax.stop_gradient((table, plan, candidates, counts))
-        else:
-            saved = jax.lax.stop_gradient(base)
-        residuals = (saved, triangles, clip_vertices.shape[1], a, ids, bc,
-                     row_offset)
-        return out, residuals
-    table, base, s_rows, plan, candidates, counts = _prepare_tables(
-        tri_data, attr_packed, chunk, image_width, image_height,
-        row_offset, full_height, binning)
     ids, bc, z, attrs = _forward_fused(
         table, s_rows, plan, candidates, counts, a_pad, row_offset,
         image_width, image_height, full_height, interpret, chunk,
@@ -2102,6 +2008,10 @@ def _interp_fwd(clip_vertices, attributes, triangles, row_offset,
         # The backward reuses this pass's plan + table verbatim (see _fwd;
         # in chunk mode the tables are bit-identical by construction).
         saved = jax.lax.stop_gradient((table, plan, candidates, counts))
+    elif binning == "chunk":
+        # BWD_PLAN='winner', chunk: rebuild the split chunk tables in
+        # _interp_bwd from the packed pair.
+        saved = jax.lax.stop_gradient((tri_data, attr_packed))
     else:
         # BWD_PLAN='winner': the backward rebuilds winner-segment tables
         # from `base`.
@@ -2124,6 +2034,19 @@ def _interp_bwd(image_width, image_height, full_height, interpret, with_z,
         table, plan, candidates, counts = saved
         # Per-tile forward legacy counts -> per-strip backward counts.
         counts = jnp.repeat(counts, N_SEG, axis=1)
+    elif binning == "chunk":
+        # Rebuild the split chunk tables (no winner section in chunk
+        # mode — same program as BWD_PLAN='forward' modulo the rebuild).
+        tri_data, attr_packed = saved
+        batch, t_pad, _ = tri_data.shape
+        plan = _legacy_plan(batch, t_pad, chunk,
+                            pl.cdiv(image_height, TILE_H) * N_SEG,
+                            pl.cdiv(image_width, TILE_W))
+        candidates, counts = _bin_chunks(tri_data, chunk, image_width,
+                                         image_height, row_offset,
+                                         full_height)
+        counts = jnp.repeat(counts, N_SEG, axis=1)
+        table = (tri_data, attr_packed)
     else:
         table, s_rows, plan, candidates, counts = _prepare_bwd_tables(
             saved, ids, bc, chunk, image_width, image_height, row_offset,

@@ -1,5 +1,11 @@
 """MXU-vs-VPU edge-function evaluation microbench (VERDICT r3 weak #5).
 
+CAUTION — superseded for go/no-go decisions by mxu_full_microbench.py:
+this script times the eval stage behind an additive reduction fold whose
+cost distorts the VPU baseline ~2.4x (BENCH.md "MXU edge-function
+offload"); the full-pipeline A/B there measured the dot variant a 4-6%
+LOSS at both shipped chunk sizes. Kept for the per-precision dot numbers.
+
 The hard kernels' per-visit hot path evaluates five affine functions of the
 pixel coordinates per triangle — e0, e1, e2 (edge/barycentric numerators)
 and the depth numerator/denominator (num = sum e_i*vz_i, den = sum

@@ -5,6 +5,10 @@ this script times the eval stage behind an additive reduction fold whose
 cost distorts the VPU baseline ~2.4x (BENCH.md "MXU edge-function
 offload"); the full-pipeline A/B there measured the dot variant a 4-6%
 LOSS at both shipped chunk sizes. Kept for the per-precision dot numbers.
+Note when comparing per-dot numbers ACROSS the two scripts: this script's
+dot contracts the full K-padded [5C, 8] rows (5 zero K-rows), while
+mxu_full_microbench.py slices to K=3 — the dots are not the same
+contraction, so cross-script per-dot deltas confound K-padding cost.
 
 The hard kernels' per-visit hot path evaluates five affine functions of the
 pixel coordinates per triangle — e0, e1, e2 (edge/barycentric numerators)

@@ -18,6 +18,13 @@ timing plus the id-mismatch pixel count and max |z| gap — the measure of
 how much bf16x6 edge rounding perturbs knife-edge winner decisions (the
 parity-tolerance question for production adoption).
 
+Fidelity caveat (ADVICE r4): kernel_mxu's `valid` omits the production
+live-flag test (`col(15) > 0.0` in _rasterize_chunk_core) — harmless for
+this A/B because the synthetic table sets col 15 = 1 everywhere, but it
+means the mxu side is measured slightly LIGHTER than a faithful port
+(one fewer compare/and per visit). Since the mxu variant already loses
+(0.94-0.96x), adding the test could only widen the loss.
+
 Usage: python scripts/mxu_full_microbench.py [--visits 512] [--iters 30]
        [--chunk 8] [--interpret]
 """

@@ -12,6 +12,38 @@ from __future__ import annotations
 import dataclasses
 import os
 
+import jax
+
+# In-kernel dot precision, the `dot_precision` knob on both rasterizer
+# configs. These dots feed rendered images and analytic gradients, so
+# precision was checked explicitly on TPU v5e:
+#   * forward interpolation dots: DEFAULT (plain bf16 MXU) measures 4.2e-6
+#     max abs fwd error vs the XLA spec — identical to HIGHEST (the
+#     contractions select one winner row, so low-order mantissa bits of the
+#     f32 decomposition don't accumulate);
+#   * backward reduction dots ([C, P] x [P, 3] / [C, P] x [P, A]): DEFAULT
+#     adds ~0.5% relative noise to the vertex/attribute gradients (measured
+#     compiled-vs-XLA on v5e, 64x48 cube) — inside every reference gradient
+#     gate (1% relative outlier budget) and immaterial to SGD.
+# "highest" (bf16x6 passes) removes the noise but costs ~29% end-to-end
+# (567 -> 401 renders/s at the 256^2 headline; Mosaic rejects HIGH, so
+# there is no bf16x3 middle ground). DEFAULT is therefore the default;
+# select dot_precision="highest" on the config for exact-parity debugging
+# (pinned on TPU by tests/test_rasterize_pallas.py).
+DOT_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def resolve_dot_precision(name):
+    try:
+        return DOT_PRECISIONS[name]
+    except KeyError:
+        raise ValueError(
+            f"dot_precision must be one of {sorted(DOT_PRECISIONS)}, got "
+            f"{name!r} (Mosaic supports no other dot precisions).") from None
+
 # Default binning mode for both rasterizers. 'auto' resolves per kernel
 # path from the round-4 v5e measurements (BENCH.md): hard -> chunk, soft
 # full render -> gathered while the mesh fits one gathered pass, soft
@@ -39,7 +71,7 @@ class HardRasterizerConfig:
         gradient noise on TPU, measured inside every parity gate) or
         'highest' (bf16x6 — exact f32 parity with the XLA spec at ~29%
         end-to-end cost). Affects only the Pallas backend's in-kernel
-        matmuls; see rasterize_pallas.DOT_PRECISIONS.
+        matmuls; see DOT_PRECISIONS above.
       spatial_sort: chunk-binning mode only — let the fused Pallas kernel
         re-bin triangles in a batch-shared screen-space order when that
         culls tighter than the caller's order (decided per call under
@@ -99,3 +131,32 @@ class SoftRasterizerConfig:
 
 HARD_CONFIG = HardRasterizerConfig()
 SOFT_CONFIG = SoftRasterizerConfig()
+
+# --- Debug checks -----------------------------------------------------------
+#
+# The reference guards degenerate cameras with ALWAYS-ON host asserts
+# (/root/reference/src/common/camera_utils.py:65-76). Under jit those
+# asserts cannot run (values are tracers), so by default this framework
+# checks only concrete inputs (ops/camera.py) and a degenerate camera
+# inside a jitted train loop silently produces NaNs. Enabling debug
+# checks restores the reference's guard semantics as TRACED checks:
+# `camera.look_at` emits a runtime warning (jax.debug.print under
+# lax.cond — compiled steps are never invalidated) when a camera is
+# degenerate, and `models/*.render` checks its output images for
+# NaN/Inf. Cost: a few scalar reductions + a host callback that fires
+# only on failure; off (the default) the compiled program is unchanged.
+#
+# The flag is read at TRACE time: flip it before building/jitting a step
+# (already-compiled functions keep the behavior they were traced with).
+_DEBUG_CHECKS = os.environ.get("MESH_RENDERER_DEBUG", "0") not in (
+    "0", "", "false", "False")
+
+
+def set_debug_checks(enabled: bool) -> None:
+    """Enable/disable traced debug checks (see module comment above)."""
+    global _DEBUG_CHECKS
+    _DEBUG_CHECKS = bool(enabled)
+
+
+def debug_checks_enabled() -> bool:
+    return _DEBUG_CHECKS

@@ -63,8 +63,22 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..config import DOT_PRECISIONS, resolve_dot_precision
 from .barycentric import (DEGENERATE_BARYCENTRIC_CUTOFF,
                           unnormalized_matrix_inverse)
+# Binning plans/table assembly live in ops/binning.py (shared with the
+# soft kernels and unit-tested directly); re-imported here because the
+# hard kernels consume every plan family and external measurement scripts
+# address them through this module.
+from . import binning as binning_lib
+from .binning import (ATTR_COL, GATHER_TILE_CAP, _bbox_live_cols,
+                      _bin_chunks, _bin_hits, _bin_specs, _build_tables,
+                      _gather_budget_rows, _gather_plan,
+                      _gathered_id_ranges, _legacy_plan,
+                      _segment_sum_gathered, _winner_plan)
+from .binning import ID_COL as _BINNING_ID_COL
+
+_resolve_precision = resolve_dot_precision
 
 # Tile dimensions (f32 min tile is 8x128). (16, 128) measured fastest for
 # the fused kernels at 256^2 (297 vs 247 renders/s at (16, 256)) AND at the
@@ -122,36 +136,6 @@ def _fused_chunk_for(n_triangles):
     return (FUSED_TRI_CHUNK_LARGE if n_triangles >= FUSED_LARGE_T_THRESHOLD
             else FUSED_TRI_CHUNK)
 
-# In-kernel dot precision, a HardRasterizerConfig knob (`dot_precision`).
-# These dots feed rendered images and analytic gradients, so precision was
-# checked explicitly on TPU v5e:
-#   * forward interpolation dots: DEFAULT (plain bf16 MXU) measures 4.2e-6
-#     max abs fwd error vs the XLA spec — identical to HIGHEST (the
-#     contractions select one winner row, so low-order mantissa bits of the
-#     f32 decomposition don't accumulate);
-#   * backward reduction dots ([C, P] x [P, 3] / [C, P] x [P, A]): DEFAULT
-#     adds ~0.5% relative noise to the vertex/attribute gradients (measured
-#     compiled-vs-XLA on v5e, 64x48 cube) — inside every reference gradient
-#     gate (1% relative outlier budget) and immaterial to SGD.
-# "highest" (bf16x6 passes) removes the noise but costs ~29% end-to-end
-# (567 -> 401 renders/s at the 256^2 headline; Mosaic rejects HIGH, so
-# there is no bf16x3 middle ground). DEFAULT is therefore the default;
-# select dot_precision="highest" on the config for exact-parity debugging
-# (pinned on TPU by tests/test_rasterize_pallas.py).
-DOT_PRECISIONS = {
-    "default": jax.lax.Precision.DEFAULT,
-    "highest": jax.lax.Precision.HIGHEST,
-}
-
-
-def _resolve_precision(name):
-    try:
-        return DOT_PRECISIONS[name]
-    except KeyError:
-        raise ValueError(
-            f"dot_precision must be one of {sorted(DOT_PRECISIONS)}, got "
-            f"{name!r} (Mosaic supports no other dot precisions).") from None
-
 # Packed triangle-data columns (see _pack_triangle_data).
 _COLS = 21
 # GATHERED kernel-table layout: packed data in 0.._COLS-1, original
@@ -164,342 +148,10 @@ _COLS = 21
 # slice lane ALIGNMENT was ruled out by the MESH_RENDERER_ATTR_COL=32
 # A/B). Backward output tables: vertex-gradient columns 0..8, attribute
 # gradients from _OUT_ATTR_COL.
-_ID_COL = _COLS
-_ATTR_COL = 24
+_ID_COL = _BINNING_ID_COL  # binning.ID_COL — _build_tables owns the layout
+_ATTR_COL = ATTR_COL
+assert _ID_COL == _COLS, "gathered-table id column must follow packed data"
 _OUT_ATTR_COL = 16
-
-
-def _bbox_live_cols(x, y, vw):
-    """Per-triangle cull columns [..., T, 5]: (live, min_x, max_x, min_y,
-    max_y).
-
-    live = 0 when all corner w < 0 (cull, cpp:338-341). Conservative NDC
-    bbox: vertices with w <= eps make the triangle's screen extent
-    unbounded -> full-screen bbox.
-    """
-    live = (~jnp.all(vw < 0.0, axis=-1)).astype(jnp.float32)
-    eps = 1e-6
-    safe_w = jnp.where(jnp.abs(vw) > eps, vw, eps)
-    ndc_x = x / safe_w
-    ndc_y = y / safe_w
-    unbounded = jnp.any(vw <= eps, axis=-1)
-    big = 4.0
-    min_x = jnp.where(unbounded, -big, jnp.min(ndc_x, axis=-1))
-    max_x = jnp.where(unbounded, big, jnp.max(ndc_x, axis=-1))
-    min_y = jnp.where(unbounded, -big, jnp.min(ndc_y, axis=-1))
-    max_y = jnp.where(unbounded, big, jnp.max(ndc_y, axis=-1))
-    return jnp.stack([live, min_x, max_x, min_y, max_y], axis=-1)
-
-
-# --- Gathered (triangle-granularity) binning -------------------------------
-#
-# Chunk-granularity binning (`_bin_chunks`) culls with the UNION bbox of each
-# chunk's triangles, so every triangle is visited on every tile its chunk
-# union overlaps — measured 1.5-2.4x more (tile, triangle) visits than the
-# exact per-triangle overlap on the bench scenes. The gathered plan bins at
-# triangle granularity instead: an XLA prepass duplicates each triangle's
-# packed row into a per-tile, chunk-aligned segment of a "gathered" table
-# (ascending original ids within a segment), and the kernels walk each
-# tile's own contiguous segment. Triangles whose bbox spans more than
-# GATHER_TILE_CAP tiles (or that don't fit the static row budget) fall back
-# to the legacy chunk-binned loop over the ORIGINAL table with liveness
-# masked to exactly those triangles — the two loops partition the mesh, so
-# the scheme is also exact for additive (soft) aggregation semantics.
-# Because every kernel identifies triangles by the packed id column (not
-# the row position), winner selection (min z, max id) is order-independent
-# and the gathered mode is bit-identical to the chunk mode.
-
-# Cap on tiles-per-triangle in the gathered plan; beyond it a triangle is
-# legacy-handled. Measured (CPU pair counts, 2026-08-18): the bench teapot
-# configs have ZERO overflow at cap 8; the 512^2 stress config overflows
-# ~1.8 tris/mesh costing 4.3% of pairs, and raising the cap to 32 reclaims
-# only 3.6% of pairs while 4x-ing the plan's per-triangle scatter
-# enumeration ([T, cap]) — not worth it.
-GATHER_TILE_CAP = 8
-
-
-def _gather_budget_rows(t_pad, n_tiles, chunk):
-    """Static row budget of the gathered table section.
-
-    2x the triangle count covers the measured mean overlap (~1.3-1.5
-    tiles/triangle) with slack; + chunk per tile bounds the alignment
-    padding. Scenes that exceed the budget stay correct — whole tiles drop
-    to the legacy loop via the keep mask.
-    """
-    return 2 * t_pad + chunk * n_tiles
-
-
-def _gather_plan(bbox5, chunk, image_width, image_height, row_offset,
-                 full_height, budget_rows, cap=None,
-                 top_down=False, tile_h=None, tile_w=None):
-    """Triangle-granularity binning plan (batched).
-
-    Args:
-      bbox5: [B, T_pad, 5] (live, min_x, max_x, min_y, max_y) per triangle
-        (same columns `_bin_hits` consumes).
-      budget_rows: static row count S of the gathered table section.
-
-    Returns:
-      gather_idx [B, S] i32 — source triangle row per gathered-table slot
-        (t_pad = dead slot; slots are grouped in per-tile, chunk-aligned,
-        id-ascending segments);
-      keep [B, T_pad] bool — True where the triangle is fully handled by
-        the gathered segments (False = legacy-loop fallback: bbox spans
-        > cap tiles, or a target tile overflowed the row budget);
-      start_chunk / n_chunks [B, R, C, 1] i32 — each tile's segment as
-        chunk indices into the gathered section.
-    """
-    tile_h = TILE_H if tile_h is None else tile_h
-    tile_w = TILE_W if tile_w is None else tile_w
-    cap = GATHER_TILE_CAP if cap is None else cap  # call-time (testable)
-    batch, t_pad, _ = bbox5.shape
-    n_rows = pl.cdiv(image_height, tile_h)
-    n_cols = pl.cdiv(image_width, tile_w)
-    n_tiles = n_rows * n_cols
-    row_off = jnp.asarray(row_offset, jnp.float32)
-
-    # Per-tile NDC bounds — the EXACT same expressions `_bin_hits` uses, so
-    # the gathered and chunk classifications of a (triangle, tile) pair can
-    # never diverge (an earlier pixel-space floor() formulation could
-    # disagree by an ulp at tile boundaries, dropping a boundary pixel's
-    # soft coverage; ADVICE r3). Closed-interval overlap is also exactly
-    # sufficient: every pixel CENTER of tile j lies strictly inside the
-    # tile's NDC box, so a bbox containing any coverable center overlaps it.
-    ti = jnp.arange(n_rows, dtype=jnp.float32)
-    tj = jnp.arange(n_cols, dtype=jnp.float32)
-    if top_down:
-        tmax_y = -(ti * tile_h + row_off) * (2.0 / full_height) + 1.0
-        tmin_y = -((ti + 1) * tile_h + row_off) * (2.0 / full_height) + 1.0
-    else:
-        tmin_y = (ti * tile_h + row_off) * (2.0 / full_height) - 1.0
-        tmax_y = ((ti + 1) * tile_h + row_off) * (2.0 / full_height) - 1.0
-    tmin_x = tj * tile_w * (2.0 / image_width) - 1.0
-    tmax_x = (tj + 1) * tile_w * (2.0 / image_width) - 1.0
-
-    def plan_one(b5):
-        live = b5[:, 0] > 0.0
-        # Per-triangle tile-overlap masks; hits form contiguous [first,
-        # last] ranges along each axis (the tile boxes are a monotone
-        # partition of NDC), which the scatter enumeration below exploits.
-        col_hit = ((b5[:, 1:2] <= tmax_x[None]) &
-                   (b5[:, 2:3] >= tmin_x[None]))        # [T, C]
-        row_hit = ((b5[:, 3:4] <= tmax_y[None]) &
-                   (b5[:, 4:5] >= tmin_y[None]))        # [T, R]
-        wspan = jnp.sum(col_hit, axis=1).astype(jnp.int32)
-        hspan = jnp.sum(row_hit, axis=1).astype(jnp.int32)
-        ci0 = jnp.argmax(col_hit, axis=1).astype(jnp.int32)
-        ri0 = jnp.argmax(row_hit, axis=1).astype(jnp.int32)
-        nspan = wspan * hspan
-        eligible = live & (nspan > 0) & (nspan <= cap)
-
-        # Exact (triangle, tile) hit matrix -> per-tile counts and the rank
-        # (segment position) of each triangle within each tile it hits.
-        hit = (eligible[:, None, None] & row_hit[:, :, None] &
-               col_hit[:, None, :]).reshape(t_pad, n_tiles)
-        hit_i = hit.astype(jnp.int32)
-
-        counts = jnp.sum(hit_i, axis=0)                        # [n_tiles]
-        rank = jnp.cumsum(hit_i, axis=0) - hit_i               # exclusive
-        pc = -(-counts // chunk) * chunk                       # chunk-padded
-        ps = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                              jnp.cumsum(pc)[:-1]])
-        tile_fits = ps + pc <= budget_rows
-        # A triangle touching any non-fitting tile must be handled entirely
-        # by the legacy loop (its already-placed slots become dead gaps).
-        drop = jnp.any(hit & ~tile_fits[None], axis=1)
-        keep = eligible & ~drop
-
-        # Row-major enumeration of each kept triangle's tile-span rect.
-        # (wspan can be 0 for offscreen triangles; their slots are already
-        # invalid below, but the div/mod operands must stay defined.)
-        k = jnp.arange(cap, dtype=jnp.int32)
-        wspan_safe = jnp.maximum(wspan, 1)
-        r_k = ri0[:, None] + k[None] // wspan_safe[:, None]
-        c_k = ci0[:, None] + k[None] % wspan_safe[:, None]
-        tile_k = jnp.clip(r_k * n_cols + c_k, 0, n_tiles - 1)
-        valid_k = keep[:, None] & (k[None] < nspan[:, None])
-        rank_k = jnp.take_along_axis(rank, tile_k, axis=1)
-        # Valid destinations are unique by construction (per-tile ranks are
-        # distinct, per-tile slot ranges are disjoint); giving every
-        # INVALID entry its own distinct out-of-bounds slot (dropped by
-        # mode="drop") makes the whole index set unique, so
-        # unique_indices=True lets XLA lower the scatter as a fully
-        # parallel store instead of the duplicate-safe serializing path —
-        # the difference between a ~5 ms and a sub-ms prepass at the 256^2
-        # headline (BENCH.md round 4).
-        oob = budget_rows + jnp.arange(
-            t_pad * cap, dtype=jnp.int32).reshape(t_pad, cap)
-        dst = jnp.where(valid_k, ps[tile_k] + rank_k, oob)
-        src = jnp.broadcast_to(
-            jnp.arange(t_pad, dtype=jnp.int32)[:, None], dst.shape)
-        gather_idx = jnp.full((budget_rows,), t_pad, jnp.int32).at[
-            dst.reshape(-1)].set(src.reshape(-1), mode="drop",
-                                 unique_indices=True)
-
-        start_chunk = jnp.where(tile_fits, ps, 0) // chunk
-        n_chunks = jnp.where(tile_fits, pc, 0) // chunk
-        return (gather_idx, keep,
-                start_chunk.reshape(n_rows, n_cols, 1),
-                n_chunks.reshape(n_rows, n_cols, 1))
-
-    return jax.vmap(plan_one)(bbox5)
-
-
-def _legacy_plan(batch, t_pad, chunk, n_rows, n_cols):
-    """A trivial plan routing every triangle to the legacy loop.
-
-    keep is None (no triangle is gathered) and the gathered section is
-    EMPTY (S = 0): _build_tables returns the untouched base, and the
-    kernels statically elide the whole gathered datapath (no A loop, no
-    segment refs, positional triangle ids) — chunk mode compiles to the
-    same program it had before gathered binning existed."""
-    return (jnp.zeros((batch, 0), jnp.int32),
-            None,
-            jnp.zeros((batch, n_rows, n_cols, 1), jnp.int32),
-            jnp.zeros((batch, n_rows, n_cols, 1), jnp.int32))
-
-
-def _gathered_id_ranges(gather_idx, t_pad, chunk):
-    """Per-gathered-chunk [min, max] original-id ranges (bwd winner cull).
-
-    Dead slots contribute (INT32_MAX, -1) so fully-dead chunks never hit.
-    Shaped [B, 1, S // chunk] for the SMEM block layout.
-    """
-    batch, s = gather_idx.shape
-    g = gather_idx.reshape(batch, s // chunk, chunk)
-    valid = g < t_pad
-    idmin = jnp.min(jnp.where(valid, g, jnp.iinfo(jnp.int32).max), axis=-1)
-    idmax = jnp.max(jnp.where(valid, g, -1), axis=-1)
-    return idmin[:, None, :], idmax[:, None, :]
-
-
-def _build_tables(tri_data, attr_packed, plan, live_col=15, with_id=True):
-    """Assemble the two-section kernel table from a binning plan.
-
-    Section A ([:S] with S = plan's budget): gathered per-tile segments
-    (ONE take_along_axis carries data + id + attributes together). Section
-    B ([S:]): the original rows with liveness masked to the plan's
-    fallback triangles (~keep), walked by the legacy chunk-binned loop.
-
-    with_id appends the original-triangle-id column at _ID_COL (the hard
-    kernels' winner identity); the soft kernels aggregate additively with
-    no per-triangle identity, so they skip it.
-
-    Returns (table [B, S + T_pad, W], base [B, T_pad, W]) with
-    W = _ID_COL + 1 (hard bare), _ATTR_COL + attr width (hard fused), or
-    the input width (soft). `base` is the pre-section table (full
-    liveness, iota ids) — the hard backward's winner-segment prepass
-    gathers rows from it by original id.
-    """
-    gather_idx, keep, _, _ = plan
-    batch, t_pad, cols = tri_data.shape
-    parts = [tri_data]
-    if with_id:
-        iota = jnp.arange(t_pad, dtype=jnp.float32)
-        parts.append(jnp.broadcast_to(iota[None, :, None],
-                                      (batch, t_pad, 1)))
-    if attr_packed is not None:
-        parts.append(jnp.zeros((batch, t_pad, _ATTR_COL - cols - 1),
-                               jnp.float32))
-        parts.append(attr_packed)
-    base = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
-    width = base.shape[-1]
-    if keep is None:
-        # Chunk mode (_legacy_plan): the gathered section is empty, so the
-        # table IS the untouched base — no gather, no liveness/id masking,
-        # no concat beyond the id/attr column assembly above.
-        return base, base
-    # Sentinel row (index t_pad): dead (live 0), id -1.
-    sentinel = jnp.zeros((batch, 1, width), jnp.float32)
-    if with_id:
-        sentinel = sentinel.at[:, 0, _ID_COL].set(-1.0)
-    ext = jnp.concatenate([base, sentinel], axis=1)
-    dup = jnp.take_along_axis(ext, gather_idx[..., None], axis=1)
-    # Kept triangles' legacy rows are dead (live 0). Their id column must
-    # ALSO be neutralized (-1): the forward never reads dead rows' ids
-    # (valid requires live > 0), but the BWD_PLAN='forward' backward reuses
-    # this table and its winner mask is a pure `ids == tid` match — a kept
-    # triangle's id surviving in a legacy chunk that gets visited for a
-    # neighboring overflow triangle would double-count its gradient
-    # (caught by test_gathered_cap_and_budget_fallback at cap=1).
-    legacy = base.at[..., live_col].multiply(
-        1.0 - keep.astype(jnp.float32))
-    if with_id:
-        legacy = legacy.at[..., _ID_COL].set(
-            jnp.where(keep, -1.0, legacy[..., _ID_COL]))
-    return jnp.concatenate([dup, legacy], axis=1), base
-
-
-def _winner_plan(ids, bc, chunk, budget_rows, tile_h=None, tile_w=None):
-    """Per-tile WINNER segments for the hard backward (batched).
-
-    The reference backward iterates covered pixels and accumulates into
-    each pixel's winning triangle (rasterize_triangles.cpp:156-269); the
-    TPU analogue of that "winners only" property is segment construction
-    from the id image. The backward only touches triangles that won >= 1
-    pixel in the tile (the winner masks zero every other row), so its
-    segments can be built from the forward's id image: per tile, sort
-    the active winner ids, compact first occurrences into a chunk-aligned
-    id-ascending segment. Measured on the bench scenes this visits ~3x
-    fewer chunks than the bbox-gathered segments (losers and occluded
-    triangles drop out). Unlike the forward plan there is no per-triangle
-    cap: every winner is in its tile's segment by construction, so tiles
-    that fit need NO legacy loop at all; tiles beyond the row budget flip
-    to the legacy chunk-binned loop instead (tile_fits mask).
-
-    Returns (gather_idx [B, S] original-triangle ids per slot (-1 dead),
-    start_chunk / n_chunks [B, R, C, 1], tile_fits [B, R, C, 1] bool).
-    """
-    tile_h = TILE_H if tile_h is None else tile_h
-    tile_w = TILE_W if tile_w is None else tile_w
-    batch, height, width = ids.shape
-    n_rows = pl.cdiv(height, tile_h)
-    n_cols = pl.cdiv(width, tile_w)
-    n_tiles = n_rows * n_cols
-    n_pix = tile_h * tile_w
-    big = jnp.iinfo(jnp.int32).max
-
-    active = ~((ids == 0) &
-               (jnp.sum(bc, axis=-1) < DEGENERATE_BARYCENTRIC_CUTOFF))
-    masked = jnp.where(active, ids, big)
-    # [B, R, C, TH*TW] per-tile pixel lists; boundary tiles pad inactive.
-    masked = jnp.pad(masked,
-                     [(0, 0), (0, n_rows * tile_h - height),
-                      (0, n_cols * tile_w - width)], constant_values=big)
-    tiles = masked.reshape(batch, n_rows, tile_h, n_cols, tile_w)
-    tiles = jnp.moveaxis(tiles, 2, 3).reshape(batch, n_tiles, n_pix)
-    s = jnp.sort(tiles, axis=-1)
-    first = (s != big) & jnp.concatenate(
-        [jnp.ones((batch, n_tiles, 1), bool), s[..., 1:] != s[..., :-1]],
-        axis=-1)
-    first_i = first.astype(jnp.int32)
-    counts = jnp.sum(first_i, axis=-1)                     # [B, n_tiles]
-    rank = jnp.cumsum(first_i, axis=-1) - first_i
-    pc = -(-counts // chunk) * chunk
-    ps = jnp.concatenate(
-        [jnp.zeros((batch, 1), jnp.int32), jnp.cumsum(pc, axis=-1)[:, :-1]],
-        axis=-1)
-    tile_fits = ps + pc <= budget_rows
-
-    # Unique out-of-bounds slots for the dropped entries so the scatter
-    # qualifies for unique_indices=True (see _gather_plan).
-    oob = budget_rows + jnp.arange(
-        n_tiles * n_pix, dtype=jnp.int32).reshape(n_tiles, n_pix)
-    dst = jnp.where(first & tile_fits[..., None],
-                    ps[..., None] + rank, oob[None])
-
-    def scatter_one(d, v):
-        return jnp.full((budget_rows,), -1, jnp.int32).at[
-            d.reshape(-1)].set(v.reshape(-1), mode="drop",
-                               unique_indices=True)
-
-    gather_idx = jax.vmap(scatter_one)(dst, s)
-    start_chunk = (jnp.where(tile_fits, ps, 0) // chunk).reshape(
-        batch, n_rows, n_cols, 1)
-    n_chunks = (jnp.where(tile_fits, pc, 0) // chunk).reshape(
-        batch, n_rows, n_cols, 1)
-    return (gather_idx, start_chunk, n_chunks,
-            tile_fits.reshape(batch, n_rows, n_cols, 1))
 
 
 def _prepare_bwd_tables(base, ids, bc, chunk, image_width, image_height,
@@ -520,7 +172,8 @@ def _prepare_bwd_tables(base, ids, bc, chunk, image_width, image_height,
     n_cols = pl.cdiv(image_width, TILE_W)
     n_strips = n_rows * N_SEG
     if binning == "gathered":
-        budget = _gather_budget_rows(t_pad, n_strips * n_cols, chunk)
+        budget = binning_lib._gather_budget_rows(
+            t_pad, n_strips * n_cols, chunk)
         # Winner segments at SEG_H-strip granularity. Pad the id/bc images
         # to whole tiles first so the plan has exactly N_SEG strip rows per
         # kernel tile row (padded pixels are inactive: id 0, bc 0).
@@ -607,84 +260,6 @@ def _strip_pixel_coords(ti, h, tj, row_off, image_width, full_height):
     py = (rows + 0.5) * (2.0 / full_height) - 1.0
     px = (cols + 0.5) * (2.0 / image_width) - 1.0
     return px, py
-
-
-def _bin_chunks(tri_data, chunk, image_width, image_height, row_offset,
-                full_height, live_col=15, top_down=False, tile_h=None,
-                tile_w=None):
-    """Per-tile candidate chunk lists (the SURVEY §5 binning prepass).
-
-    The TPU-native replacement for the reference's quadtree
-    (src/soft_mesh_renderer/quadtree.py:37-101) with static shapes: for
-    every image tile, the indices of the triangle *chunks* whose combined
-    live NDC bbox overlaps the tile, hits first in ascending order
-    (stable argsort), plus the hit count. Kernels then fori_loop only over
-    `count` candidates instead of streaming all T_pad/chunk chunks with a
-    per-chunk cond — at the 512^2/10k-tri stress most tiles intersect only
-    a few percent of chunks.
-
-    `live_col` points at the liveness column, with the (min_x, max_x,
-    min_y, max_y) bbox in the four columns after it (hard table: 15/16-19;
-    soft table: 21/22-25). `top_down=True` flips the tile y bounds for the
-    soft pixel grid (rows address NDC top-down). The soft Pallas module
-    reuses this helper with those arguments.
-
-    Returns:
-      candidates [B, R, C, n_chunks] i32, counts [B, R, C, 1] i32 — with
-      R = cdiv(H, TILE_H), C = cdiv(W, TILE_W).
-    """
-    hit = _bin_hits(tri_data[:, :, live_col:live_col + 5], chunk,
-                    image_width, image_height, row_offset, full_height,
-                    top_down=top_down, tile_h=tile_h, tile_w=tile_w)
-    counts = jnp.sum(hit, axis=-1, dtype=jnp.int32)[..., None]
-    # Candidate compaction stays an argsort: the "obvious" cheaper
-    # cumsum-position + parallel scatter compaction measured 70.8 ms vs
-    # the argsort's 12.4 ms on the 512^2 stress hit matrix ([8192, 1296],
-    # v5e, scripts/prepass_microbench.py, 2026-08-19) — XLA lowers the
-    # row-batched scatter far worse than its bitonic sort here.
-    candidates = jnp.argsort(~hit, axis=-1, stable=True).astype(jnp.int32)
-    return candidates, counts
-
-
-def _bin_hits(bbox5, chunk, image_width, image_height, row_offset,
-              full_height, top_down=False, tile_h=None, tile_w=None):
-    """Chunk-bbox x tile overlap matrix [B, R, C, n_chunks] (bool).
-
-    bbox5 is [B, T_pad, 5] = (live, min_x, max_x, min_y, max_y) per
-    triangle — the shared hit test behind `_bin_chunks` (which adds the
-    candidate-compaction argsort) and the spatial-sort auto decision
-    (which only needs the pair count).
-    """
-    tile_h = TILE_H if tile_h is None else tile_h
-    tile_w = TILE_W if tile_w is None else tile_w
-    batch, t_pad, _ = bbox5.shape
-    n_chunks = t_pad // chunk
-    n_rows = pl.cdiv(image_height, tile_h)
-    n_cols = pl.cdiv(image_width, tile_w)
-    per_tri = bbox5.reshape(batch, n_chunks, chunk, 5)
-    live = per_tri[..., 0] > 0.0
-    inf = jnp.float32(np.inf)
-    cmin_x = jnp.min(jnp.where(live, per_tri[..., 1], inf), axis=2)
-    cmax_x = jnp.max(jnp.where(live, per_tri[..., 2], -inf), axis=2)
-    cmin_y = jnp.min(jnp.where(live, per_tri[..., 3], inf), axis=2)
-    cmax_y = jnp.max(jnp.where(live, per_tri[..., 4], -inf), axis=2)
-
-    row_off = jnp.asarray(row_offset, jnp.float32)
-    ti = jnp.arange(n_rows, dtype=jnp.float32)
-    tj = jnp.arange(n_cols, dtype=jnp.float32)
-    if top_down:
-        tmax_y = -(ti * tile_h + row_off) * (2.0 / full_height) + 1.0
-        tmin_y = -((ti + 1) * tile_h + row_off) * (2.0 / full_height) + 1.0
-    else:
-        tmin_y = (ti * tile_h + row_off) * (2.0 / full_height) - 1.0
-        tmax_y = ((ti + 1) * tile_h + row_off) * (2.0 / full_height) - 1.0
-    tmin_x = tj * tile_w * (2.0 / image_width) - 1.0
-    tmax_x = (tj + 1) * tile_w * (2.0 / image_width) - 1.0
-
-    return ((cmin_x[:, None, None, :] <= tmax_x[None, None, :, None]) &
-            (cmax_x[:, None, None, :] >= tmin_x[None, None, :, None]) &
-            (cmin_y[:, None, None, :] <= tmax_y[None, :, None, None]) &
-            (cmax_y[:, None, None, :] >= tmin_y[None, :, None, None]))
 
 
 def _rasterize_chunk_core(data, px, py, chunk, tri_ids=None):
@@ -917,22 +492,6 @@ def _merge_pass(best, ids, bc, z, offset, extra=None, best_extra=None):
     return merged, jnp.where(m, extra, best_extra)
 
 
-def _bin_specs(n_cols, n_chunks):
-    """(count, candidates) SMEM block specs shared by all tile kernels.
-
-    One tile-ROW of lists per block (last two block dims must equal the
-    array dims on TPU — per-tile (1,1,1,n) blocks fail Mosaic's layout
-    check whenever the image spans more than one tile column); kernels
-    index the tile's own list with program_id(2).
-    """
-    count_spec = pl.BlockSpec((1, 1, n_cols, 1), lambda b, i, j: (b, i, 0, 0),
-                              memory_space=pltpu.SMEM)
-    cand_spec = pl.BlockSpec((1, 1, n_cols, n_chunks),
-                             lambda b, i, j: (b, i, 0, 0),
-                             memory_space=pltpu.SMEM)
-    return count_spec, cand_spec
-
-
 def _seg_specs(n_cols):
     """SMEM block spec for per-strip segment lists.
 
@@ -966,10 +525,11 @@ def _prepare_tables(tri_data, attr_packed, chunk, image_width, image_height,
         # exact superset per strip). The overflow cap scales with N_SEG so
         # the same triangles fall to the legacy loop, to first order.
         n_strips = n_rows * N_SEG
-        budget = _gather_budget_rows(t_pad, n_strips * n_cols, chunk)
+        budget = binning_lib._gather_budget_rows(
+            t_pad, n_strips * n_cols, chunk)
         plan = _gather_plan(tri_data[:, :, 15:20], chunk, image_width,
                             n_rows * TILE_H, row_offset, full_height,
-                            budget, cap=GATHER_TILE_CAP * N_SEG,
+                            budget, cap=binning_lib.GATHER_TILE_CAP * N_SEG,
                             tile_h=SEG_H)
     else:
         plan = _legacy_plan(batch, t_pad, chunk, n_rows * N_SEG, n_cols)
@@ -1205,24 +765,6 @@ def _scatter_corner_grads(dcorner, triangles, batch, vertex_count):
              grads_xyw[..., 2:3]], axis=-1)
         df_dvertices = df_dvertices.at[:, tris[:, k]].add(updates)
     return df_dvertices
-
-
-def _segment_sum_gathered(dtab, s_rows, gather_idx):
-    """Fold a two-section row-gradient table back onto original rows.
-
-    dtab [B, S + T_pad, W]: gathered-section rows are summed per source
-    triangle (dead slots carry exact zeros and route to the dropped
-    t_pad segment) and added to the legacy section's direct rows.
-    Chunk mode (S = 0) is the identity — no fold, no copy.
-    """
-    if s_rows == 0:
-        return dtab
-    t_pad = dtab.shape[1] - s_rows
-    d_a, d_b = dtab[:, :s_rows], dtab[:, s_rows:]
-    seg = jax.vmap(
-        lambda d, g: jax.ops.segment_sum(d, g, num_segments=t_pad + 1)
-    )(d_a, gather_idx)[:, :t_pad]
-    return seg + d_b
 
 
 def _backward_pallas(table, plan, candidates, counts, triangles,

@@ -50,8 +50,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import rasterize_pallas as hard_pallas
+from ..config import resolve_dot_precision
+from . import binning as binning_lib
 from . import soft_rasterize as soft_xla
+from .binning import _bin_specs  # noqa: F401  (shared SMEM layout specs)
 
 TILE_H = 16
 TILE_W = 128
@@ -247,17 +249,14 @@ def _bin_chunks(tri_data, image_width, image_height, row_offset,
                 full_height):
     """Per-tile candidate chunk lists (per-tile binning, SURVEY.md §5).
 
-    Delegates to rasterize_pallas._bin_chunks with this table's layout:
+    Delegates to binning_lib._bin_chunks with this table's layout:
     keep gate at col 21 with the blur-inflated bbox in cols 22-25, a
     top-down pixel grid, and THIS module's tile dimensions.
     """
-    return hard_pallas._bin_chunks(
+    return binning_lib._bin_chunks(
         tri_data, TRI_CHUNK, image_width, image_height, row_offset,
         full_height, live_col=21, top_down=True, tile_h=TILE_H,
         tile_w=TILE_W)
-
-
-_bin_specs = hard_pallas._bin_specs
 
 
 def _seg_specs(n_cols):
@@ -266,14 +265,14 @@ def _seg_specs(n_cols):
     Arrays are [B, N_SEG * R, C, 1] (strip-major rows); one block carries a
     TILE's N_SEG consecutive strip rows so kernels read
     `ref[0, h, tj, 0]`. The last two block dims equal the array dims
-    (Mosaic's SMEM layout rule; see hard_pallas._bin_specs)."""
+    (Mosaic's SMEM layout rule; see binning._bin_specs)."""
     return pl.BlockSpec((1, N_SEG, n_cols, 1), lambda b, i, j: (b, i, 0, 0),
                         memory_space=pltpu.SMEM)
 
 
 def _prepare_tables(tri_data, binning, image_width, image_height,
                     row_offset, full_height):
-    """Soft-table variant of rasterize_pallas._prepare_tables.
+    """Soft-table variant of the hard module's _prepare_tables.
 
     Same two-section scheme (gathered per-tile segments + overflow-masked
     legacy section) over THIS table's layout: keep gate at col 21,
@@ -295,20 +294,20 @@ def _prepare_tables(tri_data, binning, image_width, image_height,
         # the image bottom can only add dead visits, never lose real ones —
         # the hit test is an exact superset per strip).
         n_strips = n_rows * N_SEG
-        budget = hard_pallas._gather_budget_rows(t_pad, n_strips * n_cols,
+        budget = binning_lib._gather_budget_rows(t_pad, n_strips * n_cols,
                                                  TRI_CHUNK)
         # A triangle's vertical strip span is N_SEG x its tile span, so the
         # overflow cap scales with it (same triangles overflow to the
         # legacy loop as at full-tile granularity, to first order).
-        plan = hard_pallas._gather_plan(
+        plan = binning_lib._gather_plan(
             tri_data[:, :, 21:26], TRI_CHUNK, image_width,
             n_rows * TILE_H, row_offset, full_height, budget,
-            cap=hard_pallas.GATHER_TILE_CAP * N_SEG,
+            cap=binning_lib.GATHER_TILE_CAP * N_SEG,
             top_down=True, tile_h=SEG_H, tile_w=TILE_W)
     else:
-        plan = hard_pallas._legacy_plan(batch, t_pad, TRI_CHUNK,
+        plan = binning_lib._legacy_plan(batch, t_pad, TRI_CHUNK,
                                         n_rows * N_SEG, n_cols)
-    table, _ = hard_pallas._build_tables(tri_data, None, plan, live_col=21,
+    table, _ = binning_lib._build_tables(tri_data, None, plan, live_col=21,
                                          with_id=False)
     s_rows = plan[0].shape[1]
     candidates, counts = _bin_chunks(table[:, s_rows:], image_width,
@@ -1016,7 +1015,7 @@ def _run_backward_sil(table, s_rows, plan, candidates, counts, params,
     kernel = functools.partial(
         _bwd_kernel_sil, image_width=image_width,
         image_height=image_height, full_height=full_height, s_rows=s_rows,
-        precision=hard_pallas._resolve_precision(dot_precision))
+        precision=resolve_dot_precision(dot_precision))
     tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
                              lambda b, i, j: (b, i, j),
                              memory_space=pltpu.VMEM)
@@ -1052,7 +1051,7 @@ def _run_backward_sil(table, s_rows, plan, candidates, counts, params,
         interpret=interpret,
     )(params, plan[2], plan[3], counts, candidates, table, 1.0 - alpha,
       cotangent)
-    ddata = hard_pallas._segment_sum_gathered(dtab, s_rows, plan[0])
+    ddata = binning_lib._segment_sum_gathered(dtab, s_rows, plan[0])
     return ddata, dparams
 
 
@@ -1138,7 +1137,7 @@ def soft_rasterize_silhouette_pallas_batched(
     binning = _resolve_binning(binning, tris.shape[0], silhouette=True)
     row_off = jnp.asarray(row_offset, jnp.int32)
     sigma = jnp.asarray(sigma_val, jnp.float32)
-    hard_pallas._resolve_precision(dot_precision)  # validate eagerly
+    resolve_dot_precision(dot_precision)  # validate eagerly
 
     def one_pass(tri_slice):
         return _soft_sil_core(
@@ -1215,7 +1214,7 @@ def _run_backward(table, s_rows, plan, candidates, counts, lights, params,
     kernel = functools.partial(
         _bwd_kernel, image_width=image_width, image_height=image_height,
         full_height=full_height, s_rows=s_rows, n_lights=n_lights,
-        precision=hard_pallas._resolve_precision(dot_precision))
+        precision=resolve_dot_precision(dot_precision))
     tile_spec = pl.BlockSpec((1, TILE_H, TILE_W),
                              lambda b, i, j: (b, i, j),
                              memory_space=pltpu.VMEM)
@@ -1259,7 +1258,7 @@ def _run_backward(table, s_rows, plan, candidates, counts, lights, params,
     )(params, lights, plan[2], plan[3], counts, candidates, table, run_max,
       sum_w, sil, rgb[..., 0], rgb[..., 1], rgb[..., 2], cotangent[..., 0],
       cotangent[..., 1], cotangent[..., 2], cotangent[..., 3], d_sumw)
-    ddata = hard_pallas._segment_sum_gathered(dtab, s_rows, plan[0])
+    ddata = binning_lib._segment_sum_gathered(dtab, s_rows, plan[0])
     return ddata, dlights, dparams
 
 
@@ -1405,7 +1404,7 @@ def soft_rasterize_pallas_batched(clip_space_vertices, triangles,
     sigma = jnp.asarray(sigma_val, jnp.float32)
     gamma = jnp.asarray(gamma_val, jnp.float32)
 
-    hard_pallas._resolve_precision(dot_precision)  # validate eagerly
+    resolve_dot_precision(dot_precision)  # validate eagerly
 
     def one_pass(tri_slice, raw):
         return _soft_pallas_core(

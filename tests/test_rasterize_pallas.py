@@ -487,6 +487,7 @@ def test_gathered_cap_and_budget_fallback(monkeypatch):
     """Triangles spanning more tiles than GATHER_TILE_CAP — or dropped by
     the static row budget — are exactly partitioned onto the in-kernel
     legacy loop: mixed scenes stay bit-identical to the default plan."""
+    from pytorch_mesh_renderer_tpu.ops import binning
     from pytorch_mesh_renderer_tpu.ops import rasterize_pallas as rp
 
     width, height = 48, 40
@@ -512,7 +513,8 @@ def test_gathered_cap_and_budget_fallback(monkeypatch):
     want_g = grad()
 
     # cap=1: multi-tile triangles fall back to the legacy loop (mixed).
-    monkeypatch.setattr(rp, "GATHER_TILE_CAP", 1)
+    # (The knob lives on ops.binning; both kernel modules read it there.)
+    monkeypatch.setattr(binning, "GATHER_TILE_CAP", 1)
     for a, b in zip(render(), want):
         np.testing.assert_array_equal(a, b)
     for a, b in zip(grad(), want_g):
@@ -522,7 +524,7 @@ def test_gathered_cap_and_budget_fallback(monkeypatch):
 
     # Tiny row budget: tiles overflow, everything routes to the legacy
     # loop (keep must go fully False, not half-place triangles).
-    monkeypatch.setattr(rp, "_gather_budget_rows",
+    monkeypatch.setattr(binning, "_gather_budget_rows",
                         lambda t_pad, n_tiles, chunk: 2 * chunk)
     for a, b in zip(render(), want):
         np.testing.assert_array_equal(a, b)

@@ -445,7 +445,7 @@ def test_soft_gathered_cap_fallback_is_exact_partition(monkeypatch):
     """With a tile cap of 1 the scene splits across the gathered and
     legacy loops; the additive aggregation must neither drop nor
     double-count any triangle (values match the unrestricted plan)."""
-    from pytorch_mesh_renderer_tpu.ops import rasterize_pallas as rp
+    from pytorch_mesh_renderer_tpu.ops import binning
     from pytorch_mesh_renderer_tpu.ops.soft_rasterize_pallas import (
         soft_rasterize_pallas_batched)
 
@@ -458,9 +458,9 @@ def test_soft_gathered_cap_fallback_is_exact_partition(monkeypatch):
             height, SIGMA, GAMMA, BLUR))
 
     want = render()
-    monkeypatch.setattr(rp, "GATHER_TILE_CAP", 1)
+    monkeypatch.setattr(binning, "GATHER_TILE_CAP", 1)
     np.testing.assert_allclose(render(), want, rtol=1e-5, atol=1e-6)
     monkeypatch.undo()
-    monkeypatch.setattr(rp, "_gather_budget_rows",
+    monkeypatch.setattr(binning, "_gather_budget_rows",
                         lambda t_pad, n_tiles, chunk: 2 * chunk)
     np.testing.assert_allclose(render(), want, rtol=1e-5, atol=1e-6)

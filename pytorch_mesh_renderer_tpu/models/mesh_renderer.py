@@ -15,10 +15,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .. import config as config_lib
 from ..ops import camera
 from ..ops.rasterize import rasterize
 from ..ops.shading import phong_shader, tone_mapper  # re-export: tone_mapper
 from ..ops.math_utils import normalize
+from ..utils.debug import debug_check_finite
 
 __all__ = ["render", "phong_shader", "tone_mapper"]
 
@@ -150,7 +152,7 @@ def render(vertices, triangles, normals, diffuse_colors, camera_position,
 
     pixel_mask = jnp.any(pixel_diffuse >= 0.0, axis=3).astype(jnp.float32)
 
-    return phong_shader(
+    images = phong_shader(
         normals=pixel_normals,
         alphas=pixel_mask,
         pixel_positions=pixel_positions,
@@ -162,3 +164,10 @@ def render(vertices, triangles, normals, diffuse_colors, camera_position,
         specular_colors=pixel_specular,
         shininess_coefficients=shininess_for_shader,
         ambient_color=ambient_color)
+    if config_lib.debug_checks_enabled():
+        # Opt-in traced guard (reference parity: its camera asserts are
+        # always-on, camera_utils.py:65-76, but cannot run on tracers) —
+        # a degenerate camera or NaN input surfaces here as a runtime
+        # warning instead of silently poisoning the training loss.
+        debug_check_finite(images, "mesh_renderer.render output")
+    return images

@@ -14,8 +14,10 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .. import config as config_lib
 from ..ops import camera, mesh
 from ..ops.soft_rasterize import rasterize
+from ..utils.debug import debug_check_finite
 
 __all__ = ["render", "render_silhouette"]
 
@@ -78,10 +80,14 @@ def render(vertices, triangles, diffuse_colors, camera_position,
         far_clip, image_width, image_height)
     normals = mesh.compute_vertex_normals(vertices, triangles)
 
-    return rasterize(
+    images = rasterize(
         vertices, triangles, normals, diffuse_colors, light_positions,
         light_intensities, clip_space_transforms, image_width, image_height,
         sigma_val, gamma_val, blur_radius=blur_radius, config=config)
+    if config_lib.debug_checks_enabled():
+        # Opt-in traced guard; see models/mesh_renderer.py.
+        debug_check_finite(images, "soft_mesh_renderer.render output")
+    return images
 
 
 def render_silhouette(vertices, triangles, camera_position, camera_lookat,
@@ -128,6 +134,10 @@ def render_silhouette(vertices, triangles, camera_position, camera_lookat,
         camera_position, camera_lookat, camera_up, fov_y, near_clip,
         far_clip, image_width, image_height)
     clip = camera.transform_homogeneous(clip_space_transforms, vertices)
-    return soft_xla.rasterize_silhouette_clip_space_batch(
+    alpha = soft_xla.rasterize_silhouette_clip_space_batch(
         clip, triangles, image_width, image_height, sigma_val,
         blur_radius=blur_radius, config=config)
+    if config_lib.debug_checks_enabled():
+        # Opt-in traced guard; see models/mesh_renderer.py.
+        debug_check_finite(alpha, "render_silhouette output")
+    return alpha

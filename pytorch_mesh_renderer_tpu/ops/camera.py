@@ -8,9 +8,13 @@ projection, and batched homogeneous transforms. Everything here is a pure
 function over f32 arrays and is safe under jit/vmap/grad.
 
 Unlike the reference (which raises on degenerate cameras via host asserts,
-camera_utils.py:65-76), `look_at` only performs the degeneracy checks when
-called with concrete (non-traced) inputs; under `jit` the check is the
-caller's responsibility (see utils.debug.check_isnan_isinf).
+camera_utils.py:65-76), `look_at` performs the degeneracy checks eagerly
+when called with concrete (non-traced) inputs; under `jit` the values are
+tracers and no host assert can run, so by default a degenerate camera
+silently produces NaNs downstream. Enabling debug checks
+(config.set_debug_checks(True) or MESH_RENDERER_DEBUG=1) restores the
+reference's guard semantics as TRACED runtime warnings inside jitted
+steps (utils.debug.debug_warn_if).
 """
 
 from __future__ import annotations
@@ -21,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import config as config_lib
+from ..utils.debug import debug_warn_if
 from .math_utils import normalize
 
 _DEGENERACY_CUTOFF = 1e-6
@@ -87,6 +93,10 @@ def look_at(eye: jnp.ndarray, center: jnp.ndarray,
             _DEGENERACY_CUTOFF, np.asarray(forward_norm),
             err_msg="Camera matrix is degenerate because eye and center are "
                     "close.")
+    elif config_lib.debug_checks_enabled():
+        debug_warn_if(
+            forward_norm <= _DEGENERACY_CUTOFF,
+            "Camera matrix is degenerate because eye and center are close.")
     forward = forward / forward_norm
 
     to_side = jnp.cross(forward, world_up)
@@ -97,6 +107,11 @@ def look_at(eye: jnp.ndarray, center: jnp.ndarray,
             _DEGENERACY_CUTOFF, np.asarray(to_side_norm),
             err_msg="Camera matrix is degenerate because up and gaze are too "
                     "close or because up is degenerate.")
+    elif config_lib.debug_checks_enabled():
+        debug_warn_if(
+            to_side_norm <= _DEGENERACY_CUTOFF,
+            "Camera matrix is degenerate because up and gaze are too close "
+            "or because up is degenerate.")
     to_side = to_side / to_side_norm
     cam_up = jnp.cross(to_side, forward)
 

@@ -27,6 +27,22 @@ def check_isnan_isinf(tensor, msg: str = "") -> None:
         raise ValueError(msg)
 
 
+def debug_warn_if(bad, msg: str = "") -> None:
+    """jit-safe predicate warning: prints `msg` from compiled code when the
+    traced boolean `bad` is True at runtime; no-op (and free) otherwise.
+
+    The traced analogue of the reference's host asserts
+    (camera_utils.py:65-76): `jax.debug.print` under `lax.cond` rather
+    than raising, so compiled training steps are never invalidated.
+    """
+    bad = jnp.asarray(bad).any()
+
+    def _warn(_):
+        jax.debug.print("[mesh_renderer debug] {msg}", msg=msg)
+
+    jax.lax.cond(bad, _warn, lambda _: None, 0)
+
+
 def debug_check_finite(tensor, msg: str = "") -> None:
     """jit-safe NaN/Inf check: warns from inside compiled code ONLY on
     failure.
@@ -37,10 +53,4 @@ def debug_check_finite(tensor, msg: str = "") -> None:
     training steps are never invalidated.
     """
     bad = jnp.logical_or(jnp.isnan(tensor).any(), jnp.isinf(tensor).any())
-
-    def _warn(_):
-        jax.debug.print(
-            "[debug_check_finite] {msg}: NON-FINITE values detected",
-            msg=msg)
-
-    jax.lax.cond(bad, _warn, lambda _: None, 0)
+    debug_warn_if(bad, "{}: NON-FINITE values detected".format(msg))

@@ -696,12 +696,17 @@ def main():
 
     if args.pose:
         value, final_loss, _ = bench_pose(args.steps, 128)
+        # final loss rides as its own field, NOT in the metric name: the
+        # metric string is the BENCH_LAST_GOOD merge key, and embedding a
+        # per-run float there made every run a fresh key instead of
+        # superseding the old one (VERDICT r4 weak #3/#4).
         record = _emit({
             "metric": (f"soft pose-optimization steps/sec @128^2 "
-                       f"({args.steps} Adam steps, {platform}), final IoU "
-                       f"loss {final_loss:.4f}"),
+                       f"({args.steps} Adam steps, {platform}, scanned "
+                       f"loop)"),
             "value": round(value, 3),
             "unit": "steps/sec",
+            "final_iou_loss": round(final_loss, 4),
             "vs_baseline": None,
         })
         _update_last_good(record, platform)
@@ -750,6 +755,7 @@ def main():
         "metric": metric,
         "value": round(value, 3),
         "unit": "renders/sec",
+        "ms_per_step": round(sec_per_step * 1e3, 3),
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
     }
     # Roofline readout rides every bench line (hard AND soft) so the

@@ -59,6 +59,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
+def _log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", choices=["headline", "stress"],
@@ -264,6 +268,62 @@ def main():
                 bc.reshape(batch, size, size, 3),
                 zimg.reshape(batch, size, size))
 
+    def merge_scatter(z, w0, w1, w2, inst_tri, inst_ox, inst_oy, t_pad):
+        """Scatter-min winner merge (the sort-free alternative).
+
+        Three passes over the lane set: duplicate-index scatter-min of the
+        sortable z key per pixel, duplicate-index scatter-max of the id
+        among z-minimal lanes (production tie rule), then a unique-index
+        payload scatter of the per-pixel winner. Same contract as `merge`;
+        timed separately so the go/no-go covers both merge families.
+        """
+        batch, s_pad, _ = z.shape
+        lane = jnp.arange(128, dtype=jnp.int32)
+        fx = inst_ox.astype(jnp.int32)[..., None] + (lane % pw)[None, None]
+        fy = inst_oy.astype(jnp.int32)[..., None] + (lane // pw)[None, None]
+        valid = z < 2.0
+        pid = jnp.where(valid, fy * size + fx, HW)  # [B, S, 128]
+        tid = jnp.broadcast_to(inst_tri[..., None], pid.shape)
+        # Monotone f32 -> i32 key (ascending float order; negatives map
+        # below zero, -0.0 and +0.0 coincide at 0).
+        zb = jax.lax.bitcast_convert_type(z, jnp.int32)
+        int_min = jnp.int32(-2147483648)
+        zkey = jnp.where(zb >= 0, zb, int_min - zb)
+        big = jnp.iinfo(jnp.int32).max
+
+        n = s_pad * 128
+        pid_f = pid.reshape(batch, n)
+        zkey_f = zkey.reshape(batch, n)
+        tid_f = tid.reshape(batch, n)
+
+        def one(pid_f, zkey_f, tid_f, z, w0, w1, w2):
+            zmin = jnp.full((HW + 1,), big, jnp.int32).at[pid_f].min(zkey_f)
+            at_min = zkey_f == zmin[pid_f]  # invalid lanes: pid=HW never min
+            pid_min = jnp.where(at_min & (pid_f < HW), pid_f, HW)
+            idmax = jnp.full((HW + 1,), -1, jnp.int32).at[pid_min].max(tid_f)
+            winner = (pid_min < HW) & (tid_f == idmax[pid_min])
+            oob = HW + jnp.arange(n, dtype=jnp.int32)
+            dst = jnp.where(winner, pid_f, oob)
+            vals = jnp.stack(
+                [tid_f.astype(jnp.float32), w0.reshape(n), w1.reshape(n),
+                 w2.reshape(n), jnp.minimum(z.reshape(n), 1.0)], axis=-1)
+            img = jnp.zeros((HW, 5), jnp.float32).at[dst].set(
+                vals, mode="drop", unique_indices=True)
+            zimg = jnp.where(
+                jnp.zeros((HW,), bool).at[dst].set(
+                    True, mode="drop", unique_indices=True),
+                img[:, 4], 1.0)
+            return img, zimg
+
+        img, zimg = jax.vmap(one)(pid_f, zkey_f, tid_f, z, w0, w1, w2)
+        wsum = img[..., 1] + img[..., 2] + img[..., 3]
+        inv = 1.0 / jnp.where(wsum != 0.0, wsum, 1.0)
+        bc = img[..., 1:4] * inv[..., None]
+        ids = jnp.where(wsum != 0.0, img[..., 0].astype(jnp.int32), 0)
+        return (ids.reshape(batch, size, size),
+                bc.reshape(batch, size, size, 3),
+                zimg.reshape(batch, size, size))
+
     # ---------------- assemble + time ----------------
 
     chunk = rp.TRI_CHUNK
@@ -274,6 +334,7 @@ def main():
     plan_j = jax.jit(plan)
     kernel_j = jax.jit(run_kernel)
     merge_j = jax.jit(functools.partial(merge, t_pad=t_pad))
+    merge_scatter_j = jax.jit(functools.partial(merge_scatter, t_pad=t_pad))
 
     def patch_end2end(cv):
         td = rp._pack_batched(cv, tris, chunk)
@@ -287,8 +348,15 @@ def main():
         cv, tris, size, size, interpret=args.interpret))
 
     # Correctness first.
+    _log("compiling production forward...")
+    jax.block_until_ready(prod_j(clip))
+    _log("production compiled; compiling patch plan...")
+    jax.block_until_ready(plan_j(tri_data))
+    _log("plan compiled; compiling patch end-to-end...")
     (ids_p, bc_p, z_p), n_dropped = jax.block_until_ready(patch_j(clip))
+    _log("patch compiled")
     ids_r, bc_r, z_r = jax.block_until_ready(prod_j(clip))
+    _log("correctness pass done")
     id_mismatch = int(jnp.sum(ids_p != ids_r))
     bc_err = float(jnp.max(jnp.abs(bc_p - bc_r)))
     z_err = float(jnp.max(jnp.abs(z_p - z_r)))
@@ -297,6 +365,12 @@ def main():
     # Stage artifacts for the breakdown timings.
     table, inst_tri, _ = jax.block_until_ready(plan_j(tri_data))
     kouts = jax.block_until_ready(kernel_j(table))
+
+    # Scatter-merge correctness (independent of the sort merge).
+    ids_s, bc_s, z_s2 = jax.block_until_ready(merge_scatter_j(
+        *kouts, inst_tri, table[..., 21], table[..., 22]))
+    scatter_id_mismatch = int(jnp.sum(ids_s != ids_r))
+    _log("scatter merge compiled + checked")
 
     def timeit(fn, *a):
         jax.block_until_ready(fn(*a))
@@ -309,12 +383,17 @@ def main():
             dts.append((time.perf_counter() - t0) / args.iters)
         return sorted(dts)[len(dts) // 2]
 
+    _log("timing production...")
     t_prod = timeit(prod_j, clip)
+    _log(f"prod {t_prod*1e3:.3f} ms; timing patch end2end...")
     t_patch = timeit(patch_j, clip)
+    _log(f"patch {t_patch*1e3:.3f} ms; timing stages...")
     t_plan = timeit(plan_j, tri_data)
     t_kernel = timeit(kernel_j, table)
     t_merge = timeit(merge_j, *kouts, inst_tri, table[..., 21],
                      table[..., 22])
+    t_merge_sc = timeit(merge_scatter_j, *kouts, inst_tri, table[..., 21],
+                        table[..., 22])
 
     s_pad = table.shape[1]
     live_inst = int(jnp.sum(inst_tri < t_pad))
@@ -331,7 +410,9 @@ def main():
         "patch_fwd_ms": round(t_patch * 1e3, 3),
         "patch_plan_ms": round(t_plan * 1e3, 3),
         "patch_kernel_ms": round(t_kernel * 1e3, 3),
-        "patch_merge_ms": round(t_merge * 1e3, 3),
+        "patch_merge_sort_ms": round(t_merge * 1e3, 3),
+        "patch_merge_scatter_ms": round(t_merge_sc * 1e3, 3),
+        "scatter_id_mismatch_px": scatter_id_mismatch,
         "patch_vs_prod": round(t_prod / t_patch, 3),
     }))
 

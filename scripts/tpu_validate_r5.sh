@@ -49,11 +49,12 @@ STEP_TIMEOUT=5400 step model_native env MESH_RENDERER_TEST_PLATFORM=native \
   python -m pytest tests/test_mesh_renderer.py tests/test_rasterize_hard.py \
   tests/test_soft_rasterize.py -q
 
-# 3. Patch-scatter decomposition prototype (VERDICT r4 #1).
-step patch_headline python scripts/patch_scatter_microbench.py \
-  --config headline
-step patch_stress python scripts/patch_scatter_microbench.py \
-  --config stress --iters 10
+# 3. Patch-scatter decomposition prototype (VERDICT r4 #1) — measured
+# interactively on 2026-08-20 (results + kill verdict in BENCH.md);
+# re-run here only if the tree's kernels changed since:
+#   python scripts/patch_scatter_microbench.py --config headline \
+#     --budget-factor 2
+#   python scripts/patch_scatter_microbench.py --config stress --iters 10
 
 # 4. Multipass breakdown at 100k tris (VERDICT r4 #7).
 step multipass_hard python scripts/multipass_overhead.py

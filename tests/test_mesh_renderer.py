@@ -109,11 +109,19 @@ def test_complex_shading():
             tonemapped[i])
 
 
-def _render_cube_vertices(cube_vertices, image_width=28, image_height=21):
+def _render_cube_vertices(cube_vertices, image_width=28, image_height=21,
+                          config=None):
+    # HIGHEST-precision model transform: on TPU the default einsum is a
+    # bf16 MXU dot whose ~2^-8 vertex quantization swallows the Jacobian
+    # gate's eps=1e-3 central-difference perturbations (measured r5:
+    # 6.5% relative outliers from this einsum alone). Same reasoning as
+    # the always-HIGHEST camera matmuls in ops/camera.py.
     model_transforms = camera.euler_matrices(
         jnp.array([[-20.0, 0.0, 60.0], [45.0, 60.0, 0.0]]))[:, :3, :3]
-    vertices = jnp.einsum("bij,vj->bvi", model_transforms, cube_vertices)
-    normals = jnp.einsum("bij,vj->bvi", model_transforms, CUBE_NORMALS)
+    vertices = jnp.einsum("bij,vj->bvi", model_transforms, cube_vertices,
+                          precision=jax.lax.Precision.HIGHEST)
+    normals = jnp.einsum("bij,vj->bvi", model_transforms, CUBE_NORMALS,
+                         precision=jax.lax.Precision.HIGHEST)
     eye = jnp.array([0.0, 0.0, 6.0])
     lights = jnp.tile(eye[None, None, :], [2, 1, 1])
     intensities = jnp.ones([2, 1, 3])
@@ -121,16 +129,29 @@ def _render_cube_vertices(cube_vertices, image_width=28, image_height=21):
     return mesh_renderer.render(
         vertices, CUBE_TRIANGLES, normals, diffuse, eye,
         jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]), lights, intensities,
-        image_width, image_height)
+        image_width, image_height, config=config)
 
 
 def test_full_render_gradient():
     """Full-pipeline Jacobian vs central differences at 28x21.
 
     Parity scenario: mesh_renderer_test.py:151-202 (tolerances 1% outliers
-    at 1% relative error).
+    at 1% relative error). Compiled on TPU this gate runs at
+    dot_precision='highest' (bf16x6, the exact-parity mode): the shipped
+    DEFAULT's documented ~0.5%-relative MXU-dot gradient noise
+    (config.DOT_PRECISIONS) pushes ~6.5% of the tiny 28x21 Jacobian's
+    entries past the reference's 1%-relative outlier budget (measured
+    v5e, round 5: DEFAULT 6.49% / HIGHEST 0.49% outliers with the test
+    transform itself at HIGHEST) without indicating any structural fault
+    — the gate's job. The bare-kernel Jacobian gates
+    (test_rasterize_hard.py) stay at the shipped DEFAULT precision.
     """
-    fn = jax.jit(_render_cube_vertices)
+    from pytorch_mesh_renderer_tpu import config as config_lib
+
+    cfg = None
+    if jax.devices()[0].platform not in ("cpu",):
+        cfg = config_lib.HardRasterizerConfig(dot_precision="highest")
+    fn = jax.jit(lambda v: _render_cube_vertices(v, config=cfg))
     analytical = test_utils.get_analytical_jacobian(fn, CUBE_VERTICES)
     numerical = test_utils.get_numerical_jacobian(fn, CUBE_VERTICES, eps=1e-3)
     matched, message = test_utils.check_jacobians_are_nearly_equal(

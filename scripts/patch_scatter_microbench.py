@@ -42,6 +42,14 @@ Reference anchor: the bbox pixel scan this replaces is
 /root/reference/src/mesh_renderer/kernels/rasterize_triangles.cpp:355-371
 (and the soft analogue, soft_mesh_renderer/rasterize.py:309-418).
 
+RESULT (v5e, 2026-08-20, sha bdbd8bf — full table in BENCH.md round 5):
+bit-exact at both configs; eval kernel 1.86/7.18 ms (5-10x more
+efficient per useful lane than production, confirming the occupancy
+analysis) — but the winner merge costs 60.8/1649 ms (sort) and
+142/2319 ms (scatter-min) against a production forward of 3.21/12.14 ms.
+VERDICT: KILLED — on TPU hard rasterization is select-bound, not
+eval-bound; composition through HBM costs 19-136x the whole kernel.
+
 Usage:
   python scripts/patch_scatter_microbench.py [--config headline|stress]
          [--batch N] [--iters N] [--cap K] [--patch 16x8] [--interpret]

@@ -563,10 +563,19 @@ def bench_pose(steps, size):
     angles = jnp.zeros(3)
     opt_state = opt.init(angles)
     jax.block_until_ready(run(angles, opt_state, target))  # compile
-    t0 = time.perf_counter()
-    out_angles, _, ls = run(angles, opt_state, target)
-    jax.block_until_ready(ls)
-    dt = time.perf_counter() - t0
+    # One 500-step scanned call is only ~60-90 ms of device time — a
+    # single window sits below the host/tunnel jitter floor (measured
+    # round 5: 5.9k/7.7k/8.2k steps/s on an UNCHANGED program with
+    # bit-identical final loss). Median of 5 windows, same policy as
+    # _timed_windows.
+    dts = []
+    out_angles = ls = None
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out_angles, _, ls = run(angles, opt_state, target)
+        jax.block_until_ready(ls)
+        dts.append(time.perf_counter() - t0)
+    dt = sorted(dts)[len(dts) // 2]
     return steps / dt, float(ls[-1]), np.asarray(out_angles)
 
 

@@ -796,8 +796,22 @@ def main():
             100.0 * gbps * 1e9 / V5E_HBM_BYTES_PER_SEC, 2)
             if platform == "tpu" else None),
     })
+    # Physically-impossible readings are a tunnel fault, not a speedup:
+    # observed once (2026-08-20 16:17) the axon backend "completed" every
+    # execution instantly for a few minutes — block_until_ready returned
+    # with no work done, yielding 226k renders/s at 304% of the v5e's
+    # bf16 peak, while the next run measured a normal 772. Anything over
+    # the chip's peak is flagged and kept OUT of the last-good record.
+    suspect = (record.get("pct_v5e_bf16_peak") or 0) > 100.0
+    if suspect:
+        record["suspect_measurement"] = (
+            "exceeds v5e peak FLOPs — backend likely returned without "
+            "executing; re-run")
+        print("WARNING: measurement exceeds hardware peak; not recording "
+              "as last-good (tunnel fault — re-run).", file=sys.stderr)
     record = _emit(record)
-    _update_last_good(record, platform)
+    if not suspect:
+        _update_last_good(record, platform)
 
 
 if __name__ == "__main__":

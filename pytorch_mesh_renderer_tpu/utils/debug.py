@@ -34,6 +34,11 @@ def debug_warn_if(bad, msg: str = "") -> None:
     The traced analogue of the reference's host asserts
     (camera_utils.py:65-76): `jax.debug.print` under `lax.cond` rather
     than raising, so compiled training steps are never invalidated.
+
+    Requires a PJRT backend with host send/recv callbacks — standard
+    CPU/GPU/TPU runtimes have them; some experimental tunneled backends
+    (e.g. axon) raise UNIMPLEMENTED at dispatch, in which case leave
+    debug checks off (the default) on that backend.
     """
     bad = jnp.asarray(bad).any()
 

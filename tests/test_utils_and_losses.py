@@ -125,6 +125,36 @@ def test_native_obj_roundtrip(tmp_path):
                                atol=1e-5)
 
 
+_CALLBACKS = None
+
+
+def _require_host_callbacks():
+    """Skip callback-based debug tests on backends without host callbacks.
+
+    `jax.debug.print` (the mechanism behind debug_warn_if /
+    debug_check_finite) needs PJRT host send/recv callbacks. Standard
+    CPU/GPU/TPU runtimes have them; the experimental axon TPU tunnel
+    raises UNIMPLEMENTED at dispatch (observed r5 under
+    MESH_RENDERER_TEST_PLATFORM=native). Probe once per session.
+    """
+    global _CALLBACKS
+    if _CALLBACKS is None:
+        @jax.jit
+        def probe(x):
+            jax.debug.print("callback probe")
+            return x * 1.0
+
+        try:
+            jax.block_until_ready(probe(jnp.zeros(())))
+            jax.effects_barrier()
+            _CALLBACKS = True
+        except Exception:
+            _CALLBACKS = False
+    if not _CALLBACKS:
+        pytest.skip("backend lacks host callbacks (jax.debug.print); "
+                    "debug mode is unusable on it by construction")
+
+
 def test_debug_check_isnan_isinf():
     debug.check_isnan_isinf(jnp.ones([3]))
     with pytest.raises(ValueError):
@@ -134,6 +164,7 @@ def test_debug_check_isnan_isinf():
 
 
 def test_debug_check_finite_silent_when_clean(capfd):
+    _require_host_callbacks()
     @jax.jit
     def f(x):
         debug.debug_check_finite(x, "clean")
@@ -146,6 +177,7 @@ def test_debug_check_finite_silent_when_clean(capfd):
 
 
 def test_debug_check_finite_warns_on_nan(capfd):
+    _require_host_callbacks()
     @jax.jit
     def f(x):
         debug.debug_check_finite(x, "poisoned")
@@ -164,6 +196,7 @@ def test_debug_mode_degenerate_camera_under_jit(capfd):
     (camera_utils.py:65-76 semantics, traced); with them OFF (default)
     the same program is silent. The flag is read at trace time, so each
     leg jits a fresh wrapper."""
+    _require_host_callbacks()
     from pytorch_mesh_renderer_tpu import config as config_lib
     from pytorch_mesh_renderer_tpu.ops import camera
 
@@ -197,6 +230,7 @@ def test_debug_mode_nonfinite_render_output(capfd):
     """Debug mode flags NaNs that reach the rendered image from inside a
     jitted loss — the silent-NaN path the reference's eager asserts used
     to catch (VERDICT r4 weak #6)."""
+    _require_host_callbacks()
     from pytorch_mesh_renderer_tpu import config as config_lib
     from pytorch_mesh_renderer_tpu.models import mesh_renderer
 
